@@ -1,0 +1,144 @@
+"""Top-level ASR entry points: batch transcription and the streaming chunk step.
+
+`stream_step` is the unit of work for the whole serving stack: one jitted call
+advances a batch of streams by one chunk — mel -> cached encoder -> on-device
+greedy RNNT — returning updated state and an emission tensor. There is exactly
+one compile per (latency mode, batch size); all shapes are static.
+
+Per-stream gating (`active`, `n_valid`) lets one batched call serve streams in
+different lifecycle phases (steady, finalizing with a zero-padded tail chunk as
+in nemo-stream.cpp:1217-1259, or idle).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CacheConfig, Hparams
+from ..streaming.state import StreamState
+from .decoder import DecodeState, greedy_decode, init_decode_state
+from .encoder import encode_batch, stream_encode_step
+
+
+def _gate_batch0(active, new, old):
+    mm = active.reshape((active.shape[0],) + (1,) * (new.ndim - 1))
+    return jnp.where(mm, new, old)
+
+
+def _gate_batch1(active, new, old):
+    mm = active.reshape((1, active.shape[0]) + (1,) * (new.ndim - 2))
+    return jnp.where(mm, new, old)
+
+
+def stream_step(
+    params,
+    state: StreamState,
+    mel_chunk,
+    n_valid,
+    active,
+    prompt_idx=None,
+    *,
+    hp: Hparams,
+    cfg: CacheConfig,
+):
+    """Advance a batch of streams by one chunk.
+
+    mel_chunk: [B, chunk_mel_frames, n_mels]
+    n_valid:   [B] int32 — encoder output frames to decode this chunk
+               (valid_out_len normally; fewer on the final zero-padded chunk)
+    active:    [B] bool — inactive slots keep their state bit-for-bit
+    prompt_idx:[B] int32 language prompt index (multilingual models) or None
+
+    Returns (state', tokens [B, chunk_len, S] int32 with -1 = no emission).
+    """
+    active = active.astype(bool)
+    n_valid = jnp.where(active, n_valid, 0).astype(jnp.int32)
+
+    prompt_onehot = None
+    if params.prompt is not None and prompt_idx is not None:
+        prompt_onehot = jax.nn.one_hot(
+            prompt_idx, hp.num_prompts, dtype=mel_chunk.dtype
+        )
+
+    enc, k2, v2, c2, valid2 = stream_encode_step(
+        params,
+        hp,
+        cfg,
+        mel_chunk,
+        state.k_cache,
+        state.v_cache,
+        state.conv_cache,
+        state.cache_valid,
+        prompt_onehot=prompt_onehot,
+    )
+
+    dec_state, tokens = greedy_decode(params, hp, enc, state.decode, n_valid=n_valid)
+
+    new_state = StreamState(
+        k_cache=_gate_batch1(active, k2, state.k_cache),
+        v_cache=_gate_batch1(active, v2, state.v_cache),
+        conv_cache=_gate_batch1(active, c2, state.conv_cache),
+        cache_valid=jnp.where(active, valid2, state.cache_valid),
+        decode=dec_state,  # already gated per-frame via n_valid
+    )
+    return new_state, tokens
+
+
+def transcribe_batch(params, mel, *, hp: Hparams, prompt_idx=None):
+    """Offline path: mel [B, T, n_mels] -> (tokens [B, T', S], T').
+
+    Mirrors nemo_encode (nemo-ggml.cpp:1592-1668): full-context encoder over the
+    utterance, then greedy decode; T is capped at 8*hp.max_pos_len mel frames.
+    """
+    prompt_onehot = None
+    if params.prompt is not None and prompt_idx is not None:
+        prompt_onehot = jax.nn.one_hot(prompt_idx, hp.num_prompts, dtype=mel.dtype)
+    enc = encode_batch(params, hp, mel, prompt_onehot=prompt_onehot)
+    b = enc.shape[0]
+    dec_state = init_decode_state(b, hp, dtype=enc.dtype)
+    _, tokens = greedy_decode(params, hp, enc, dec_state)
+    return tokens
+
+
+def make_stream_step(params, hp: Hparams, cfg: CacheConfig, donate: bool = True):
+    """Build the jitted streaming step for one latency mode.
+
+    State buffers are donated so the ~8 MB/stream caches update in place on
+    device (no reallocation per chunk).
+    """
+
+    def fn(params, state, mel_chunk, n_valid, active, prompt_idx=None):
+        return stream_step(
+            params, state, mel_chunk, n_valid, active, prompt_idx, hp=hp, cfg=cfg
+        )
+
+    donate_argnums = (1,) if donate else ()
+    return jax.jit(fn, donate_argnums=donate_argnums)
+
+
+@functools.partial(jax.jit, static_argnames=("hp",))
+def transcribe_batch_jit(params, mel, *, hp: Hparams):
+    return transcribe_batch(params, mel, hp=hp)
+
+
+def tokens_to_list(tokens, n_valid=None) -> list[list[tuple[int, int]]]:
+    """Decode the emission tensor on host: [B, T, S] -> per-stream ordered
+    [(token_id, frame_idx), ...] (frame_idx relative to this chunk)."""
+    import numpy as np
+
+    arr = np.asarray(tokens)
+    out = []
+    for b in range(arr.shape[0]):
+        seq = []
+        tmax = arr.shape[1] if n_valid is None else int(n_valid[b])
+        for t in range(min(tmax, arr.shape[1])):
+            for s in range(arr.shape[2]):
+                tok = int(arr[b, t, s])
+                if tok >= 0:
+                    seq.append((tok, t))
+        out.append(seq)
+    return out

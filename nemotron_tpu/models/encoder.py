@@ -1,0 +1,177 @@
+"""FastConformer encoder: batch mode and cache-aware streaming mode.
+
+Both modes run the 24 conformer layers as a single `lax.scan` over stacked layer
+parameters — one compiled layer body regardless of depth. The streaming mode is
+a pure function of (params, caches, chunk): K/V caches [L, B, 70, D], conv
+caches [L, B, K-1, D] and a per-stream cache-validity counter reproduce the
+reference's consolidated cache tensors (src/nemo-stream.h:140-174) as carried
+scan state instead of mutable graph buffers.
+
+Reference semantics: batch encoder nemo-ggml.cpp:1038-1079; streaming encoder
+nemo-stream.cpp:132-267 (drop_extra_pre_encoded, centered pos-emb slice,
+additive validity mask from cache_valid_len at :1034-1045).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CacheConfig, Hparams
+from ..ops.basic import ffn, glu, layer_norm, linear
+from ..ops.conv import conv_subsampling, depthwise_causal_conv1d
+from ..ops.rel_attention import rel_pos_mha
+
+
+def conformer_layer(
+    x,
+    pos_emb,
+    lp,
+    hp: Hparams,
+    k_cache=None,
+    v_cache=None,
+    conv_cache=None,
+    attn_mask=None,
+    left_context: int | None = None,
+):
+    """One conformer layer (batch or cached). x: [B, T, D].
+
+    Structure (nemo-ggml.cpp:845-890): x + .5*FFN1 -> +MHA -> +Conv -> +.5*FFN2
+    -> final LN. Cached mode returns (y, k_cache', v_cache', conv_cache').
+    """
+    cached = left_context is not None
+    res = x
+    cur = layer_norm(res, lp.norm_ff1_w, lp.norm_ff1_b)
+    res = res + 0.5 * ffn(cur, lp.ffn1_w1, lp.ffn1_w2)
+
+    cur = layer_norm(res, lp.norm_attn_w, lp.norm_attn_b)
+    mha_out = rel_pos_mha(
+        cur,
+        pos_emb,
+        lp.attn_q_w,
+        lp.attn_k_w,
+        lp.attn_v_w,
+        lp.attn_pos_w,
+        lp.attn_out_w,
+        lp.pos_bias_u,
+        lp.pos_bias_v,
+        hp.n_heads,
+        hp.d_head,
+        k_cache=k_cache,
+        v_cache=v_cache,
+        attn_mask=attn_mask,
+        left_context=left_context,
+    )
+    if cached:
+        cur, k_out, v_out = mha_out
+    else:
+        cur, k_out, v_out = mha_out, None, None
+    res = res + cur
+
+    # Conv module: LN -> pw1 -> GLU -> causal dw conv -> LN -> SiLU -> pw2
+    # (nemo-ggml.cpp:760-838; the "batch_norm" weights act as a layer norm)
+    cur = layer_norm(res, lp.norm_conv_w, lp.norm_conv_b)
+    cur = glu(linear(cur, lp.conv_pw1_w))
+    cur, conv_out = depthwise_causal_conv1d(cur, lp.conv_dw_w, conv_cache)
+    cur = layer_norm(cur, lp.conv_ln_w, lp.conv_ln_b)
+    cur = jax.nn.silu(cur)
+    cur = linear(cur, lp.conv_pw2_w)
+    res = res + cur
+
+    cur = layer_norm(res, lp.norm_ff2_w, lp.norm_ff2_b)
+    res = res + 0.5 * ffn(cur, lp.ffn2_w1, lp.ffn2_w2)
+
+    y = layer_norm(res, lp.norm_final_w, lp.norm_final_b)
+    if cached:
+        return y, k_out, v_out, conv_out
+    return y
+
+
+def pos_emb_slice(pos_table, pos_len: int):
+    """Centered static slice of the precomputed table (nemo-ggml.cpp:1059-1068)."""
+    off = (pos_table.shape[0] - pos_len) // 2
+    return jax.lax.slice_in_dim(pos_table, off, off + pos_len, axis=0)
+
+
+def encode_batch(params, hp: Hparams, mel, prompt_onehot=None):
+    """Offline encoder. mel: [B, T, n_mels] -> [B, T', d_model].
+
+    T' = subsampled_len(T); full (unmasked) attention over the utterance as in
+    the reference batch path. Capped by the pos table at hp.max_pos_len frames.
+    """
+    x = conv_subsampling(params.subsampling, mel)
+    t = x.shape[1]
+    pe = pos_emb_slice(params.pos_emb, 2 * t - 1)
+
+    def body(carry, lp):
+        return conformer_layer(carry, pe, lp, hp), None
+
+    x, _ = jax.lax.scan(body, x, params.layers)
+    if params.prompt is not None and prompt_onehot is not None:
+        x = prompt_fusion(params.prompt, x, prompt_onehot)
+    return x
+
+
+def prompt_fusion(pk, enc, prompt_onehot):
+    """Language-ID fusion (nemo-ggml.cpp:1087-1105). enc [B, T, D],
+    prompt_onehot [B, num_prompts] broadcast across time."""
+    b, t, _ = enc.shape
+    oh = jnp.broadcast_to(prompt_onehot[:, None, :], (b, t, prompt_onehot.shape[-1]))
+    cat = jnp.concatenate([enc, oh], axis=-1)
+    h = jax.nn.relu(linear(cat, pk.fc1_w, pk.fc1_b))
+    return linear(h, pk.fc2_w, pk.fc2_b)
+
+
+def stream_encode_step(
+    params,
+    hp: Hparams,
+    cfg: CacheConfig,
+    mel_chunk,
+    k_cache,
+    v_cache,
+    conv_cache,
+    cache_valid,
+    prompt_onehot=None,
+):
+    """One streaming encoder chunk.
+
+    mel_chunk:   [B, chunk_mel_frames, n_mels]
+    k_cache/v_cache: [L, B, left_context, D]
+    conv_cache:  [L, B, kernel-1, D]
+    cache_valid: [B] int32 (frames of valid attention cache)
+
+    Returns (enc_out [B, chunk_len, D], k', v', conv', cache_valid').
+    """
+    lc = cfg.att_left_context
+    chunk_len = cfg.chunk_len(hp)
+    kv_len = lc + chunk_len
+
+    x = conv_subsampling(params.subsampling, mel_chunk)
+    x = x[:, cfg.drop_extra_pre_encoded :, :]
+
+    pe = pos_emb_slice(params.pos_emb, 2 * kv_len - 1)
+
+    # Mask invalid (not yet written) cache positions: [0, lc - valid) masked
+    # (nemo-stream.cpp:1034-1045).
+    offset = lc - cache_valid  # [B]
+    pos_idx = jnp.arange(kv_len, dtype=jnp.int32)[None, :]
+    attn_mask = jnp.where(pos_idx < offset[:, None], -1e9, 0.0).astype(x.dtype)
+
+    def body(carry, per_layer):
+        lp, kc, vc, cc = per_layer
+        y, kc2, vc2, cc2 = conformer_layer(
+            carry, pe, lp, hp,
+            k_cache=kc, v_cache=vc, conv_cache=cc,
+            attn_mask=attn_mask, left_context=lc,
+        )
+        return y, (kc2, vc2, cc2)
+
+    x, (k_out, v_out, conv_out) = jax.lax.scan(
+        body, x, (params.layers, k_cache, v_cache, conv_cache)
+    )
+
+    if params.prompt is not None and prompt_onehot is not None:
+        x = prompt_fusion(params.prompt, x, prompt_onehot)
+
+    cache_valid = jnp.minimum(cache_valid + chunk_len, lc)
+    return x, k_out, v_out, conv_out, cache_valid

@@ -1,0 +1,106 @@
+"""Relative-position multi-head attention (Transformer-XL style, NeMo flavor).
+
+TPU-native formulation of the reference's rel-pos MHA builders
+(batch: src/nemo-ggml.cpp:668-755; cached/streaming: src/nemo-stream.cpp:463-573):
+
+  - The reference realizes `rel_shift` with a pad->reshape->drop->slice memory
+    trick. With static shapes the same permutation is a compile-time gather:
+    out[i, j] = raw[i, j + qlen - 1 - i], which XLA lowers to one take_along_axis
+    with a constant index matrix — no copies, fully fusable.
+  - Batch and streaming share one implementation: streaming passes K/V caches
+    ([B, cache_len, D]) and an additive validity mask; batch passes neither.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import nn
+
+from .basic import linear
+
+
+def rel_shift_gather(pos_raw, klen: int):
+    """pos_raw: [..., qlen, pos_len] -> [..., qlen, klen].
+
+    out[..., i, j] = pos_raw[..., i, j + qlen - 1 - i]; with pos_len = 2*klen-1
+    and qlen <= klen every index is in range.
+    """
+    qlen = pos_raw.shape[-2]
+    idx = (
+        jnp.arange(klen, dtype=jnp.int32)[None, :]
+        - jnp.arange(qlen, dtype=jnp.int32)[:, None]
+        + (qlen - 1)
+    )  # [qlen, klen], constant
+    idx = jnp.broadcast_to(idx, (*pos_raw.shape[:-2], qlen, klen))
+    return jnp.take_along_axis(pos_raw, idx, axis=-1)
+
+
+def rel_pos_mha(
+    x,
+    pos_emb,
+    q_w,
+    k_w,
+    v_w,
+    pos_w,
+    out_w,
+    bias_u,
+    bias_v,
+    n_heads: int,
+    d_head: int,
+    k_cache=None,
+    v_cache=None,
+    attn_mask=None,
+    left_context: int | None = None,
+):
+    """Relative-position MHA over a batch.
+
+    x:        [B, T, D]
+    pos_emb:  [pos_len, D] with pos_len = 2*klen - 1 (descending NeMo order)
+    k_cache / v_cache: [B, cache_len, D] or None
+    attn_mask: [B, klen] additive (0 valid / -1e9 masked) or None
+    left_context: when set, also return new K/V caches = last `left_context`
+                  rows of the concatenated K/V projections.
+
+    Returns out [B, T, D], or (out, k_cache_new, v_cache_new).
+    """
+    B, T, D = x.shape
+    q = linear(x, q_w)
+    k_new = linear(x, k_w)
+    v_new = linear(x, v_w)
+
+    if k_cache is not None:
+        k = jnp.concatenate([k_cache, k_new], axis=1)
+        v = jnp.concatenate([v_cache, v_new], axis=1)
+    else:
+        k, v = k_new, v_new
+    klen = k.shape[1]
+
+    caches_out = None
+    if left_context is not None:
+        n_keep = min(klen, left_context)
+        caches_out = (k[:, klen - n_keep :], v[:, klen - n_keep :])
+
+    pos = linear(pos_emb, pos_w)  # [pos_len, D]
+    pos_len = pos.shape[0]
+
+    qh = q.reshape(B, T, n_heads, d_head)
+    kh = k.reshape(B, klen, n_heads, d_head)
+    vh = v.reshape(B, klen, n_heads, d_head)
+    ph = pos.reshape(pos_len, n_heads, d_head)
+
+    # content: (q + u) @ k^T ; position: (q + v) @ pos^T then rel-shift
+    content = jnp.einsum("bthd,bshd->bhts", qh + bias_u[None, None], kh)
+    pos_raw = jnp.einsum("bthd,phd->bhtp", qh + bias_v[None, None], ph)
+    pos_sc = rel_shift_gather(pos_raw, klen)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=x.dtype))
+    scores = (content + pos_sc) * scale
+    if attn_mask is not None:
+        scores = scores + attn_mask[:, None, None, :]
+
+    weights = nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhts,bshd->bthd", weights, vh).reshape(B, T, D)
+    out = linear(ctx, out_w)
+    if caches_out is not None:
+        return out, caches_out[0], caches_out[1]
+    return out

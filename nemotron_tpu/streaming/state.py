@@ -1,0 +1,73 @@
+"""Per-stream device-resident state for cache-aware streaming.
+
+One pytree holds everything the reference keeps per stream
+(src/nemo-stream.h:177-262): attention K/V caches, conv caches, cache-validity
+counter, and the RNNT decoder state — with a leading batch axis so hundreds of
+streams step together in one jitted call, and a [L] leading axis on the caches
+so the layer stack is a lax.scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..config import CacheConfig, Hparams
+from ..models.decoder import DecodeState, init_decode_state
+from ..params import _ptree
+
+
+@_ptree
+class StreamState:
+    k_cache: Any      # [L, B, left_context, D]
+    v_cache: Any      # [L, B, left_context, D]
+    conv_cache: Any   # [L, B, kernel-1, D]
+    cache_valid: Any  # [B] int32
+    decode: DecodeState
+
+
+def init_stream_state(
+    batch: int, hp: Hparams, cfg: CacheConfig, dtype=jnp.float32
+) -> StreamState:
+    L, D = hp.n_layers, hp.d_model
+    return StreamState(
+        k_cache=jnp.zeros((L, batch, cfg.att_left_context, D), dtype=dtype),
+        v_cache=jnp.zeros((L, batch, cfg.att_left_context, D), dtype=dtype),
+        conv_cache=jnp.zeros((L, batch, cfg.conv_kernel_size - 1, D), dtype=dtype),
+        cache_valid=jnp.zeros((batch,), dtype=jnp.int32),
+        decode=init_decode_state(batch, hp, dtype=dtype),
+    )
+
+
+def reset_slots(state: StreamState, mask, hp: Hparams) -> StreamState:
+    """Zero the state of slots where mask[b] is True (stream join/replace).
+
+    Equivalent to nemo_stream_reset (nemo-stream.cpp:95-115) but per-slot in the
+    batched state so a new stream can claim a slot without touching the others.
+    """
+    m = jnp.asarray(mask)
+    b = m.shape[0]
+
+    def z0(x):  # batch at axis 0
+        mm = m.reshape((b,) + (1,) * (x.ndim - 1))
+        return jnp.where(mm, jnp.zeros_like(x), x)
+
+    def z1(x):  # [L, B, ...]
+        mm = m.reshape((1, b) + (1,) * (x.ndim - 2))
+        return jnp.where(mm, jnp.zeros_like(x), x)
+
+    return StreamState(
+        k_cache=z1(state.k_cache),
+        v_cache=z1(state.v_cache),
+        conv_cache=z1(state.conv_cache),
+        cache_valid=jnp.where(m, 0, state.cache_valid),
+        decode=DecodeState(
+            h=z0(state.decode.h),
+            c=z0(state.decode.c),
+            prev_token=jnp.where(m, hp.blank_id, state.decode.prev_token).astype(
+                jnp.int32
+            ),
+            frame_offset=jnp.where(m, 0, state.decode.frame_offset).astype(jnp.int32),
+        ),
+    )
