@@ -1,0 +1,175 @@
+"""High-level model handle: load once, transcribe offline or stream.
+
+`ASRModel` owns the parameter pytrees and a cache of compiled step functions —
+one per (latency mode, stream-batch size) for streaming and one per mel-length
+bucket for offline transcription. This replaces the reference's nemo_context /
+graph-builder layer (src/nemo-ggml.cpp:444-540) with ahead-of-time jitted pure
+functions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio.frontend import StreamPreprocessor
+from .config import CacheConfig, Hparams, LatencyMode
+from .models.asr import stream_step, transcribe_batch
+from .models.decoder import init_decode_state
+from .params import ModelParams, load_model, random_params
+from .streaming.state import init_stream_state
+from .text.tokenizer import Tokenizer
+
+# Multilingual default prompt index 101 = "auto" (nemo-ggml.cpp:459-462).
+DEFAULT_PROMPT_INDEX = 101
+
+MEL_BUCKET = 1024  # offline mel-length bucket (frames) to bound compiles
+
+
+class ASRModel:
+    def __init__(
+        self,
+        hp: Hparams,
+        params: ModelParams,
+        vocab: list[str] | None = None,
+        prompt_dict: dict[str, int] | None = None,
+    ):
+        self.hp = hp
+        self.params = params
+        self.tokenizer = Tokenizer(vocab or [])
+        self.prompt_dict = prompt_dict or {}
+        self.default_prompt_index = (
+            DEFAULT_PROMPT_INDEX if hp.num_prompts > 0 else -1
+        )
+        if hp.num_prompts > 0 and self.default_prompt_index >= hp.num_prompts:
+            self.default_prompt_index = 0
+        # find the longest mel segment whose subsampled length fits the pos table
+        t = 8 * hp.max_pos_len
+        while hp.subsampled_len(t) > hp.max_pos_len:
+            t -= 8
+        self.max_seg_mel_frames = t
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_gguf(cls, path: str, dtype=jnp.float32) -> "ASRModel":
+        hp, params, meta = load_model(path, dtype=dtype)
+        return cls(hp, params, meta["vocab"], meta["prompt_dict"])
+
+    @classmethod
+    def random(cls, hp: Hparams | None = None, seed: int = 0, dtype=jnp.float32):
+        hp = hp or Hparams()
+        vocab = [("▁w%d" % i) if i % 2 == 0 else ("p%d" % i) for i in
+                 range(hp.vocab_size - 1)]
+        return cls(hp, random_params(hp, seed=seed, dtype=dtype), vocab)
+
+    # ------------------------------------------------------------------
+    def cache_config(self, mode: LatencyMode | int = LatencyMode.PURE_CAUSAL):
+        return CacheConfig.for_mode(mode, self.hp)
+
+    def resolve_language(self, lang: str) -> int | None:
+        """Prompt code -> index (nemo_set_language, nemo-ggml.cpp:505-523)."""
+        if self.hp.num_prompts <= 0:
+            return None
+        idx = self.prompt_dict.get(lang)
+        return idx
+
+    @functools.lru_cache(maxsize=16)
+    def _stream_step_fn(self, cfg: CacheConfig, batch: int):
+        hp = self.hp
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fn(params, state, mel_chunk, n_valid, active, prompt_idx):
+            return stream_step(
+                params, state, mel_chunk, n_valid, active,
+                prompt_idx if hp.num_prompts > 0 else None, hp=hp, cfg=cfg,
+            )
+
+        return fn
+
+    def stream_step(self, cfg, state, mel_chunk, n_valid, active, prompt_idx=None):
+        b = mel_chunk.shape[0]
+        if prompt_idx is None:
+            prompt_idx = jnp.full((b,), max(self.default_prompt_index, 0),
+                                  dtype=jnp.int32)
+        fn = self._stream_step_fn(cfg, b)
+        return fn(self.params, state, mel_chunk, n_valid, active, prompt_idx)
+
+    def init_stream_state(self, batch: int, cfg: CacheConfig):
+        dtype = self.params.pos_emb.dtype
+        return init_stream_state(batch, self.hp, cfg, dtype=dtype)
+
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=32)
+    def _batch_fn(self, t_mel: int, batch: int):
+        hp = self.hp
+
+        @jax.jit
+        def fn(params, mel, n_frames, dec_state, prompt_idx):
+            return transcribe_batch(
+                params, mel, hp=hp, n_frames=n_frames, dec_state=dec_state,
+                prompt_idx=prompt_idx if hp.num_prompts > 0 else None,
+            )
+
+        return fn
+
+    def transcribe_mel(self, mel: np.ndarray, prompt_index: int | None = None):
+        """Offline transcription of a full mel sequence [T, n_mels].
+
+        Long audio is segmented at the pos-table cap with the decoder state
+        carried across segments (nemo_transcribe_audio_with_state semantics).
+        Returns (token_ids, frame_indices).
+        """
+        hp = self.hp
+        if prompt_index is None:
+            prompt_index = self.default_prompt_index
+        pidx = jnp.asarray([max(prompt_index, 0)], dtype=jnp.int32)
+
+        dec_state = init_decode_state(1, hp, dtype=self.params.pos_emb.dtype)
+        token_ids: list[int] = []
+        frames: list[int] = []
+        offset = 0
+        t_total = mel.shape[0]
+        seg = self.max_seg_mel_frames
+        for start in range(0, max(t_total, 1), seg):
+            part = mel[start : start + seg]
+            if part.shape[0] == 0:
+                break
+            t_real = part.shape[0]
+            n_sub = hp.subsampled_len(t_real)
+            t_pad = min(-(-t_real // MEL_BUCKET) * MEL_BUCKET, seg)
+            padded = np.zeros((t_pad, hp.n_mels), dtype=np.float32)
+            padded[:t_real] = part
+            fn = self._batch_fn(t_pad, 1)
+            tokens, dec_state = fn(
+                self.params,
+                jnp.asarray(padded[None]),
+                jnp.asarray([n_sub], dtype=jnp.int32),
+                dec_state,
+                pidx,
+            )
+            arr = np.asarray(tokens[0])
+            for t in range(n_sub):
+                for s in range(arr.shape[1]):
+                    tok = int(arr[t, s])
+                    if tok >= 0:
+                        token_ids.append(tok)
+                        frames.append(offset + t)
+            offset += n_sub
+        return token_ids, frames
+
+    def transcribe_audio(
+        self,
+        audio_i16,
+        prompt_index: int | None = None,
+        timestamp_words: bool = False,
+    ) -> str:
+        """PCM (s16le 16 kHz mono) -> text. Mirrors nemo_transcribe_audio."""
+        pp = StreamPreprocessor(
+            self.params.preproc.filterbank, self.params.preproc.window
+        )
+        mel = pp.process(audio_i16)
+        token_ids, frames = self.transcribe_mel(mel, prompt_index)
+        return self.tokenizer.decode(token_ids, timestamp_words, frames)

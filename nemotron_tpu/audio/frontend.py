@@ -1,0 +1,98 @@
+"""Streaming audio frontend: host-side sample bookkeeping + TPU mel kernel.
+
+Replicates the exact stateful semantics of the reference preprocessor
+(src/preprocessor.cpp:330-395): i16 -> f32 scale 1/32768, pre-emphasis with a
+carried last-sample, an audio buffer initialized with n_fft/2 zeros (center
+padding), frames of 512 at hop 160, and the buffer advanced by
+n_frames*hop after each call.
+
+The per-sample work (scale, pre-emphasis, buffer splice) is O(samples) host
+numpy; the O(samples * n_fft) spectral work runs on TPU through the fused
+DFT-matmul kernel in ops.mel. Frame counts are bucketed to multiples of 8 so a
+stream triggers at most a handful of compilations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import mel as melops
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _mel_kernel(frames, window512, filterbank):
+    return melops.mel_from_frames(frames, window512, filterbank)
+
+
+class StreamPreprocessor:
+    """Stateful per-stream mel frontend."""
+
+    def __init__(self, filterbank, window, device=None):
+        self.fb = jnp.asarray(filterbank, dtype=jnp.float32)
+        self.window512 = melops.padded_window(window)
+        self.n_fft = melops.N_FFT
+        self.hop = melops.HOP
+        self.n_mels = int(self.fb.shape[0])
+        # center padding: n_fft/2 zeros (preprocessor.cpp:219-221)
+        self.buf = np.zeros(self.n_fft // 2, dtype=np.float32)
+        self.last_sample = 0.0
+        self.device = device
+
+    def reset(self) -> None:
+        self.buf = np.zeros(self.n_fft // 2, dtype=np.float32)
+        self.last_sample = 0.0
+
+    def n_frames_for(self, n_new_samples: int) -> int:
+        avail = len(self.buf) + n_new_samples
+        if avail < self.n_fft:
+            return 0
+        return (avail - self.n_fft + self.hop) // self.hop
+
+    def process(self, audio_i16) -> np.ndarray:
+        """audio_i16: int16 (or float in [-1,1]) samples.
+        Returns log-mel [n_frames, n_mels] (possibly empty)."""
+        audio = np.asarray(audio_i16)
+        if audio.dtype == np.int16:
+            x = audio.astype(np.float32) / 32768.0
+        else:
+            x = audio.astype(np.float32)
+        if x.size == 0:
+            return np.zeros((0, self.n_mels), dtype=np.float32)
+
+        prev = np.empty_like(x)
+        prev[0] = self.last_sample
+        prev[1:] = x[:-1]
+        emph = x - melops.PREEMPH * prev
+        self.last_sample = float(x[-1])
+        self.buf = np.concatenate([self.buf, emph])
+
+        n_frames = self.n_frames_for(0)
+        if n_frames <= 0:
+            return np.zeros((0, self.n_mels), dtype=np.float32)
+
+        # Frame on host (strided view), pad frame count to a bucket of 8 to
+        # bound recompiles, compute log-mel on device.
+        n_pad = -(-n_frames // 8) * 8
+        frames = np.zeros((n_pad, self.n_fft), dtype=np.float32)
+        sw = self.buf.strides[0]
+        view = np.lib.stride_tricks.as_strided(
+            self.buf,
+            shape=(n_frames, self.n_fft),
+            strides=(self.hop * sw, sw),
+            writeable=False,
+        )
+        frames[:n_frames] = view
+        mel = _mel_kernel(jnp.asarray(frames), self.window512, self.fb)
+        self.buf = self.buf[n_frames * self.hop :].copy()
+        return np.asarray(mel[:n_frames])
+
+
+def mel_full(audio_i16, filterbank, window) -> np.ndarray:
+    """One-shot (offline) mel of a whole utterance, identical semantics to a
+    single process() call on a fresh stream."""
+    pp = StreamPreprocessor(filterbank, window)
+    return pp.process(audio_i16)

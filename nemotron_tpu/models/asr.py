@@ -88,20 +88,27 @@ def stream_step(
     return new_state, tokens
 
 
-def transcribe_batch(params, mel, *, hp: Hparams, prompt_idx=None):
-    """Offline path: mel [B, T, n_mels] -> (tokens [B, T', S], T').
+def transcribe_batch(params, mel, *, hp: Hparams, prompt_idx=None, n_frames=None,
+                     dec_state=None):
+    """Offline path: mel [B, T, n_mels] -> (tokens [B, T', S], dec_state').
 
     Mirrors nemo_encode (nemo-ggml.cpp:1592-1668): full-context encoder over the
     utterance, then greedy decode; T is capped at 8*hp.max_pos_len mel frames.
+    n_frames ([B] int32, subsampled-frame counts) enables padded/bucketed input;
+    dec_state carries the RNNT decoder across segments of long audio
+    (nemo_transcribe_audio_with_state, nemo-ggml.cpp:1739-1819).
     """
     prompt_onehot = None
     if params.prompt is not None and prompt_idx is not None:
         prompt_onehot = jax.nn.one_hot(prompt_idx, hp.num_prompts, dtype=mel.dtype)
-    enc = encode_batch(params, hp, mel, prompt_onehot=prompt_onehot)
+    enc = encode_batch(
+        params, hp, mel, prompt_onehot=prompt_onehot, n_frames=n_frames
+    )
     b = enc.shape[0]
-    dec_state = init_decode_state(b, hp, dtype=enc.dtype)
-    _, tokens = greedy_decode(params, hp, enc, dec_state)
-    return tokens
+    if dec_state is None:
+        dec_state = init_decode_state(b, hp, dtype=enc.dtype)
+    dec_state, tokens = greedy_decode(params, hp, enc, dec_state, n_valid=n_frames)
+    return tokens, dec_state
 
 
 def make_stream_step(params, hp: Hparams, cfg: CacheConfig, donate: bool = True):
@@ -121,8 +128,10 @@ def make_stream_step(params, hp: Hparams, cfg: CacheConfig, donate: bool = True)
 
 
 @functools.partial(jax.jit, static_argnames=("hp",))
-def transcribe_batch_jit(params, mel, *, hp: Hparams):
-    return transcribe_batch(params, mel, hp=hp)
+def transcribe_batch_jit(params, mel, n_frames, dec_state, *, hp: Hparams):
+    return transcribe_batch(
+        params, mel, hp=hp, n_frames=n_frames, dec_state=dec_state
+    )
 
 
 def tokens_to_list(tokens, n_valid=None) -> list[list[tuple[int, int]]]:

@@ -93,18 +93,31 @@ def pos_emb_slice(pos_table, pos_len: int):
     return jax.lax.slice_in_dim(pos_table, off, off + pos_len, axis=0)
 
 
-def encode_batch(params, hp: Hparams, mel, prompt_onehot=None):
+def encode_batch(params, hp: Hparams, mel, prompt_onehot=None, n_frames=None):
     """Offline encoder. mel: [B, T, n_mels] -> [B, T', d_model].
 
-    T' = subsampled_len(T); full (unmasked) attention over the utterance as in
-    the reference batch path. Capped by the pos table at hp.max_pos_len frames.
+    T' = subsampled_len(T); full bidirectional attention over the utterance as
+    in the reference batch path. Capped by the pos table at hp.max_pos_len
+    frames.
+
+    n_frames: optional [B] int32 — valid *subsampled* length per sequence.
+    Because every conv in the stack is causal, zero-padding at the end never
+    leaks backwards through convs; masking padded keys in attention makes the
+    valid prefix of a padded batch bit-equivalent to an exact-length run. This
+    enables bucketed compilation and ragged batched offline transcription
+    (which the single-sequence reference cannot do).
     """
     x = conv_subsampling(params.subsampling, mel)
     t = x.shape[1]
     pe = pos_emb_slice(params.pos_emb, 2 * t - 1)
 
+    attn_mask = None
+    if n_frames is not None:
+        pos_idx = jnp.arange(t, dtype=jnp.int32)[None, :]
+        attn_mask = jnp.where(pos_idx >= n_frames[:, None], -1e9, 0.0).astype(x.dtype)
+
     def body(carry, lp):
-        return conformer_layer(carry, pe, lp, hp), None
+        return conformer_layer(carry, pe, lp, hp, attn_mask=attn_mask), None
 
     x, _ = jax.lax.scan(body, x, params.layers)
     if params.prompt is not None and prompt_onehot is not None:

@@ -1,0 +1,162 @@
+"""Single-stream host session: incremental audio in, delta text out.
+
+Mirrors the nemo_stream_* API surface and exact buffering semantics
+(src/nemo-stream.cpp:1145-1293):
+  - mel buffer primed with pre_encode_cache_size zero frames
+  - process chunks while buffer >= chunk_mel_frames, advance by shift frames
+  - finalize zero-pads the tail to the fixed chunk width and keeps
+    floor(real_new/subsampling) output frames
+  - process_incremental returns only the *delta* text; finalize returns only
+    the suffix produced during finalization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..audio.frontend import StreamPreprocessor
+from ..config import CacheConfig, LatencyMode
+from ..models.asr import tokens_to_list
+
+
+class StreamSession:
+    def __init__(self, model, cfg: CacheConfig | LatencyMode | int | None = None,
+                 lang: str | None = None):
+        from ..api import ASRModel  # noqa: F401 (typing only)
+
+        self.model = model
+        if cfg is None:
+            cfg = model.cache_config(LatencyMode.PURE_CAUSAL)
+        elif not isinstance(cfg, CacheConfig):
+            cfg = model.cache_config(cfg)
+        self.cfg = cfg
+        self.hp = model.hp
+        self.preprocessor = StreamPreprocessor(
+            model.params.preproc.filterbank, model.params.preproc.window
+        )
+        self.prompt_index = model.default_prompt_index
+        if lang is not None:
+            self.set_language(lang)
+
+        self.state = model.init_stream_state(1, cfg)
+        # mel buffer primed with the 9-frame overlap of zeros
+        self.mel_buffer = np.zeros(
+            (cfg.pre_encode_cache_size, self.hp.n_mels), dtype=np.float32
+        )
+        self.tokens: list[int] = []
+        self.token_frames: list[int] = []
+        self.transcript = ""
+        self.total_audio_seconds = 0.0
+        self.total_chunks = 0
+        self._finalized = False
+
+    # ------------------------------------------------------------------
+    def set_language(self, lang: str) -> bool:
+        idx = self.model.resolve_language(lang)
+        if idx is None:
+            return False
+        self.prompt_index = idx
+        return True
+
+    def reset(self) -> None:
+        self.preprocessor.reset()
+        self.state = self.model.init_stream_state(1, self.cfg)
+        self.mel_buffer = np.zeros(
+            (self.cfg.pre_encode_cache_size, self.hp.n_mels), dtype=np.float32
+        )
+        self.tokens.clear()
+        self.token_frames.clear()
+        self.transcript = ""
+        self.total_audio_seconds = 0.0
+        self.total_chunks = 0
+        self._finalized = False
+
+    # ------------------------------------------------------------------
+    def _run_chunk(self, mel_chunk: np.ndarray, n_valid: int) -> str:
+        frame_base = int(self.state.decode.frame_offset[0])
+        self.state, tokens = self.model.stream_step(
+            self.cfg,
+            self.state,
+            jnp.asarray(mel_chunk[None]),
+            jnp.asarray([n_valid], dtype=jnp.int32),
+            jnp.ones((1,), dtype=bool),
+            jnp.asarray([max(self.prompt_index, 0)], dtype=jnp.int32),
+        )
+        self.total_chunks += 1
+        new = tokens_to_list(tokens)[0]
+        if not new:
+            return ""
+        ids = [tk for tk, _ in new]
+        frames = [frame_base + fr for _, fr in new]
+        self.tokens.extend(ids)
+        self.token_frames.extend(frames)
+        text = self.model.tokenizer.decode(ids)
+        self.transcript += text
+        return text
+
+    def process_incremental(self, audio_i16) -> str:
+        """Feed PCM samples; returns newly decoded text (may be empty)."""
+        if self._finalized:
+            raise RuntimeError("session already finalized; call reset()")
+        audio = np.asarray(audio_i16)
+        if audio.size == 0:
+            return ""
+        self.total_audio_seconds += audio.shape[-1] / self.cfg.sample_rate
+        mel = self.preprocessor.process(audio)
+        if mel.shape[0]:
+            self.mel_buffer = np.concatenate([self.mel_buffer, mel], axis=0)
+
+        chunk_mel = self.cfg.chunk_mel_frames
+        shift = self.cfg.shift_mel_frames
+        out = []
+        while self.mel_buffer.shape[0] >= chunk_mel:
+            out.append(self._run_chunk(self.mel_buffer[:chunk_mel],
+                                        self.cfg.valid_out_len))
+            self.mel_buffer = self.mel_buffer[shift:]
+        return "".join(out)
+
+    def finalize(self) -> str:
+        """Flush the final partial chunk (zero-padded to the fixed graph width,
+        keeping floor(real_new/subsampling) frames). Returns only the text
+        produced during finalization."""
+        if self._finalized:
+            return ""
+        self._finalized = True
+        cfg = self.cfg
+        overlap = cfg.pre_encode_cache_size
+        total = self.mel_buffer.shape[0]
+        if total <= overlap:
+            return ""
+        real_new = total - overlap
+        n_valid = real_new // cfg.subsampling_factor
+        if n_valid <= 0:
+            return ""
+        chunk = np.zeros((cfg.chunk_mel_frames, self.hp.n_mels), dtype=np.float32)
+        chunk[:total] = self.mel_buffer[: cfg.chunk_mel_frames]
+        return self._run_chunk(chunk, n_valid)
+
+    # ------------------------------------------------------------------
+    def get_transcript(self) -> str:
+        return self.transcript
+
+    def get_tokens(self) -> list[int]:
+        return list(self.tokens)
+
+    def timed_words(self) -> list[tuple[str, float]]:
+        """(word, start_seconds) pairs from emitted tokens (80 ms frames)."""
+        words: list[tuple[str, float]] = []
+        cur = ""
+        cur_t = 0.0
+        for tid, fr in zip(self.tokens, self.token_frames):
+            piece = self.model.tokenizer.piece(tid)
+            if piece.startswith("▁"):
+                if cur:
+                    words.append((cur, cur_t))
+                cur = piece[1:]
+                cur_t = fr * 1280 / 16000
+            else:
+                cur += piece
+        if cur:
+            words.append((cur, cur_t))
+        return words
