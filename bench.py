@@ -1,0 +1,144 @@
+"""Benchmark: concurrent real-time 80 ms streams per chip.
+
+Measures the full steady-state serving hot path for one chunk across a batch of
+B concurrent streams: batched mel frontend (DFT matmuls) + cache-aware encoder
+chunk + on-device greedy RNNT decode. A batch of B streams is real-time when
+one batched 80 ms chunk step takes <= 80 ms, so
+
+    concurrent_realtime_streams = B * 0.080 / step_time
+
+Baseline: the reference's single-stream streaming RTF of 0.064 on an RTX 4080
+(docs/STREAMING_ANALYSIS.md:210-213) is equivalent to 1/0.064 ~= 15.6
+real-time streams per device. vs_baseline = ours / 15.6.
+
+Prints ONE JSON line. Extra diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # persistent compilation cache: first bench run pays, later runs don't
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
+BASELINE_STREAMS = 1.0 / 0.064
+
+
+def run(batch_sizes=(128, 256, 512), dtype=jnp.bfloat16, steps=20):
+    from nemotron_tpu.config import CacheConfig, Hparams, LatencyMode
+    from nemotron_tpu.models.asr import stream_step
+    from nemotron_tpu.ops import mel as melops
+    from nemotron_tpu.params import random_params
+    from nemotron_tpu.streaming.state import init_stream_state
+
+    hp = Hparams()
+    cfg = CacheConfig.for_mode(LatencyMode.PURE_CAUSAL, hp)
+    dev = jax.devices()[0]
+    print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
+
+    params = random_params(hp, seed=0, dtype=dtype)
+    window512 = melops.padded_window(np.hanning(400).astype(np.float32))
+    fb = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (hp.n_mels, 257)), dtype=jnp.float32
+    )
+
+    shift_samples = cfg.shift_samples  # 1280 new samples per 80 ms chunk
+    tail_len = 416  # steady-state preprocessor tail (see audio/frontend.py)
+    n_new_frames = cfg.shift_mel_frames
+
+    def serve_chunk(params, state, audio, tail, last, mel_tail):
+        """Full per-chunk work: mel frontend + encoder + decode.
+
+        mel_tail: [B, pre_encode_cache_size, n_mels] carried mel overlap."""
+        mel_new, tail, last = melops.mel_step(
+            audio, tail, last, window512, fb, n_frames=n_new_frames
+        )
+        mel_chunk = jnp.concatenate([mel_tail, mel_new.astype(dtype)], axis=1)
+        new_mel_tail = mel_chunk[:, cfg.shift_mel_frames :, :]
+        b = audio.shape[0]
+        n_valid = jnp.full((b,), cfg.valid_out_len, jnp.int32)
+        active = jnp.ones((b,), bool)
+        state, tokens = stream_step(
+            params, state, mel_chunk, n_valid, active, hp=hp, cfg=cfg
+        )
+        return state, tokens, tail, last, new_mel_tail
+
+    best = None
+    for B in batch_sizes:
+        try:
+            state = init_stream_state(B, hp, cfg, dtype=dtype)
+            audio = jnp.asarray(
+                np.random.default_rng(1).uniform(-0.3, 0.3, (B, shift_samples)),
+                dtype=jnp.float32,
+            )
+            tail = jnp.zeros((B, tail_len), jnp.float32)
+            last = jnp.zeros((B,), jnp.float32)
+            mel_tail = jnp.zeros(
+                (B, cfg.pre_encode_cache_size, hp.n_mels), dtype=dtype
+            )
+            step = jax.jit(serve_chunk, donate_argnums=(1,))
+
+            t0 = time.time()
+            state, tokens, tail, last, mel_tail = step(
+                params, state, audio, tail, last, mel_tail
+            )
+            jax.block_until_ready(tokens)
+            compile_s = time.time() - t0
+
+            # warmup
+            for _ in range(3):
+                state, tokens, tail, last, mel_tail = step(
+                    params, state, audio, tail, last, mel_tail
+                )
+            jax.block_until_ready(tokens)
+
+            t0 = time.time()
+            for _ in range(steps):
+                state, tokens, tail, last, mel_tail = step(
+                    params, state, audio, tail, last, mel_tail
+                )
+            jax.block_until_ready(tokens)
+            step_time = (time.time() - t0) / steps
+
+            streams = B * 0.080 / step_time
+            rtf = step_time / (B * 0.080)
+            print(
+                f"B={B}: step={step_time * 1e3:.2f} ms  compile={compile_s:.1f}s  "
+                f"per-stream RTF={rtf:.5f}  -> {streams:.0f} rt streams",
+                file=sys.stderr,
+            )
+            if best is None or streams > best["streams"]:
+                best = {"B": B, "step_time": step_time, "streams": streams}
+        except Exception as e:  # OOM at large B etc.
+            print(f"B={B}: failed: {type(e).__name__}: {e}", file=sys.stderr)
+            break
+    return best
+
+
+def main():
+    best = run()
+    if best is None:
+        print(json.dumps({"metric": "concurrent_realtime_streams_80ms",
+                          "value": 0, "unit": "streams/chip", "vs_baseline": 0.0}))
+        return 1
+    value = round(best["streams"], 1)
+    print(json.dumps({
+        "metric": "concurrent_realtime_streams_80ms",
+        "value": value,
+        "unit": "streams/chip",
+        "vs_baseline": round(value / BASELINE_STREAMS, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
