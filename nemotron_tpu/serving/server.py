@@ -1,0 +1,209 @@
+"""Multi-session streaming ASR server (TCP / Unix socket).
+
+Protocol-compatible with the reference server (src/nemo-server.cpp) but with a
+fundamentally different compute model: instead of one worker thread stepping
+sessions one-by-one, all sessions are slots in the BatchedEngine and advance
+together in one jitted TPU call per tick.
+
+Concurrency model:
+  - asyncio readers: byte-moving only (like the reference's reader threads)
+  - one engine task owns all model state and drains the work queue
+  - global queued-PCM budget for admission control (64 MB default) with PUSH
+    payloads split into <= 8000-sample segments for fairness
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import sys
+
+import numpy as np
+
+from ..streaming.engine import BatchedEngine
+from . import protocol as P
+
+
+class StreamServer:
+    def __init__(self, model, batch_per_group: int = 32,
+                 mem_budget: int = P.DEFAULT_MEM_BUDGET):
+        self.engine = BatchedEngine(model, batch_per_group)
+        self.mem_budget = mem_budget
+        self.mem_used = 0
+        self.mem_free = asyncio.Condition()
+        self.writers: dict[int, asyncio.StreamWriter] = {}  # stream_id -> conn
+        self.conn_streams: dict[asyncio.StreamWriter, set[int]] = {}
+        self.wake = asyncio.Event()
+        self._engine_task: asyncio.Task | None = None
+        self._queued_samples: dict[int, int] = {}
+
+    # ------------------------------------------------------------------
+    async def _send(self, writer: asyncio.StreamWriter, frame: bytes) -> None:
+        try:
+            writer.write(frame)
+            await writer.drain()
+        except (ConnectionError, RuntimeError):
+            pass  # sends to closed connections are silently dropped
+
+    async def handle_conn(self, reader: asyncio.StreamReader,
+                          writer: asyncio.StreamWriter) -> None:
+        self.conn_streams[writer] = set()
+        try:
+            while True:
+                hdr = await reader.readexactly(P.HEADER_SIZE)
+                opcode, stream_id, length = P.HEADER.unpack(hdr)
+                payload = await reader.readexactly(length) if length else b""
+                await self._dispatch(writer, opcode, stream_id, payload)
+        except (asyncio.IncompleteReadError, ConnectionError):
+            pass
+        finally:
+            # disconnect reclaims this connection's sessions
+            for sid in list(self.conn_streams.get(writer, ())):
+                self.engine.drop_stream(sid)
+                self.writers.pop(sid, None)
+                self._queued_samples.pop(sid, None)
+            self.conn_streams.pop(writer, None)
+            writer.close()
+
+    async def _dispatch(self, writer, opcode: int, stream_id: int,
+                        payload: bytes) -> None:
+        if opcode == P.OP_STREAM_START:
+            cfg = {}
+            if payload:
+                try:
+                    cfg = json.loads(payload.decode("utf-8"))
+                except (ValueError, UnicodeDecodeError):
+                    cfg = {}
+            try:
+                sid = self.engine.start_stream(
+                    right_context=int(cfg.get("right_context", 0)),
+                    lang=cfg.get("lang"),
+                )
+            except RuntimeError as e:
+                await self._send(writer, P.pack(P.OP_ERROR, 0, str(e)))
+                return
+            self.writers[sid] = writer
+            self.conn_streams[writer].add(sid)
+            self._queued_samples[sid] = 0
+            await self._send(writer, P.pack_json(P.OP_STARTED, sid, {"id": sid}))
+
+        elif opcode == P.OP_PUSH:
+            if stream_id not in self.writers:
+                return  # stale-session DATA ignored (nemo-server.cpp:233)
+            audio = np.frombuffer(payload, dtype="<i2")
+            n = len(audio)
+            # admission control: block while over the global budget
+            async with self.mem_free:
+                while self.mem_used + 2 * n > self.mem_budget:
+                    await self.mem_free.wait()
+                self.mem_used += 2 * n
+            for off in range(0, n, P.MAX_SEGMENT_SAMPLES):
+                self.engine.push_audio(
+                    stream_id, audio[off : off + P.MAX_SEGMENT_SAMPLES]
+                )
+            self._queued_samples[stream_id] = (
+                self._queued_samples.get(stream_id, 0) + n
+            )
+            self.wake.set()
+            await self._send(
+                writer,
+                P.pack_json(P.OP_ACK, stream_id,
+                            {"queued_samples": self._queued_samples[stream_id]}),
+            )
+
+        elif opcode == P.OP_STREAM_END:
+            if stream_id in self.writers:
+                self.engine.end_stream(stream_id)
+                self.wake.set()
+
+        elif opcode == P.OP_SET_LANG:
+            lang = payload.decode("utf-8", errors="replace")
+            idx = self.engine.set_language(stream_id, lang)
+            if idx is None:
+                await self._send(
+                    writer, P.pack(P.OP_ERROR, stream_id,
+                                   f"unknown language '{lang}'"))
+            else:
+                await self._send(
+                    writer,
+                    P.pack_json(P.OP_LANG_SET, stream_id,
+                                {"id": stream_id, "lang": lang, "index": idx}),
+                )
+        else:
+            await self._send(
+                writer, P.pack(P.OP_ERROR, stream_id, f"bad opcode {opcode}"))
+
+    # ------------------------------------------------------------------
+    async def engine_loop(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            await self.wake.wait()
+            self.wake.clear()
+            more = True
+            while more:
+                # batched compute off the event loop thread
+                events, more = await loop.run_in_executor(None, self.engine.tick)
+                freed = 0
+                for ev in events:
+                    w = self.writers.get(ev.stream_id)
+                    if ev.kind == "text":
+                        if w is not None and ev.text:
+                            await self._send(w, P.pack(P.OP_TEXT, ev.stream_id,
+                                                       ev.text))
+                    elif ev.kind == "ended":
+                        if w is not None:
+                            await self._send(w, P.pack(P.OP_ENDED, ev.stream_id,
+                                                       ev.text))
+                            self.conn_streams.get(w, set()).discard(ev.stream_id)
+                        self.writers.pop(ev.stream_id, None)
+                        freed += 2 * self._queued_samples.pop(ev.stream_id, 0)
+                if True:
+                    # release budget for consumed audio (approximate: on ended)
+                    async with self.mem_free:
+                        self.mem_used = max(0, self.mem_used - freed)
+                        self.mem_free.notify_all()
+
+    async def serve(self, host: str | None = None, port: int | None = None,
+                    unix_path: str | None = None) -> None:
+        self._engine_task = asyncio.create_task(self.engine_loop())
+        if unix_path:
+            server = await asyncio.start_unix_server(self.handle_conn,
+                                                     path=unix_path)
+            where = unix_path
+        else:
+            server = await asyncio.start_server(self.handle_conn,
+                                                host or "127.0.0.1",
+                                                port or 8090)
+            where = f"{host or '127.0.0.1'}:{port or 8090}"
+        print(f"listening on {where}", file=sys.stderr)
+        async with server:
+            await server.serve_forever()
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="nemotron_tpu streaming server")
+    ap.add_argument("model", help="model.gguf path, or 'random' for a random "
+                                  "full-size model (benchmarks)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8090)
+    ap.add_argument("--unix", default=None, help="unix socket path")
+    ap.add_argument("--batch", type=int, default=32,
+                    help="stream slots per latency group")
+    args = ap.parse_args(argv)
+
+    from ..api import ASRModel
+
+    if args.model == "random":
+        model = ASRModel.random()
+    else:
+        model = ASRModel.from_gguf(args.model)
+
+    srv = StreamServer(model, batch_per_group=args.batch)
+    asyncio.run(srv.serve(args.host, args.port, args.unix))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

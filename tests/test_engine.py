@@ -1,0 +1,124 @@
+"""Batched engine correctness: N concurrent streams stepped together must be
+token-identical to N independent single-stream sessions, across staggered
+joins, different languages... and slot reuse."""
+
+import numpy as np
+
+from helpers import tiny_cfg, tiny_model
+
+from nemotron_tpu.api import ASRModel
+from nemotron_tpu.streaming.engine import BatchedEngine
+from nemotron_tpu.streaming.session import StreamSession
+
+
+def make_audio(n, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    f = 200 + 50 * (seed % 5)
+    sig = 0.4 * np.sin(2 * np.pi * f * t) + 0.2 * rng.standard_normal(n)
+    return (np.clip(sig, -1, 1) * 32767).astype(np.int16)
+
+
+def build_model(seed=0):
+    hp, params = tiny_model(seed=seed)
+    vocab = [("▁w%d" % i) if i % 2 == 0 else ("p%d" % i)
+             for i in range(hp.vocab_size - 1)]
+    return ASRModel(hp, params, vocab), hp
+
+
+def run_engine_to_end(engine, ids):
+    finals = {}
+    for _ in range(200):
+        events, more = engine.tick()
+        for e in events:
+            if e.kind == "ended":
+                finals[e.stream_id] = e.text
+        if all(i in finals for i in ids) and not more:
+            break
+    return finals
+
+
+def test_engine_matches_sessions():
+    model, hp = build_model()
+    audios = {i: make_audio(9600, seed=i) for i in range(3)}
+
+    # golden: independent sessions
+    want = {}
+    for i, audio in audios.items():
+        s = StreamSession(model, 0)
+        s.process_incremental(audio)
+        s.finalize()
+        want[i] = (s.get_tokens(), s.get_transcript())
+
+    engine2 = BatchedEngine(model, batch_per_group=4)
+    texts = {i: "" for i in audios}
+    sids = {engine2.start_stream(0): i for i in audios}
+    for off in range(0, 9600, 1600):
+        for sid, i in sids.items():
+            engine2.push_audio(sid, audios[i][off : off + 1600])
+        ev, _ = engine2.tick()
+        for e in ev:
+            texts[sids[e.stream_id]] += e.text
+    for sid in sids:
+        engine2.end_stream(sid)
+    for _ in range(50):
+        ev, more = engine2.tick()
+        for e in ev:
+            texts[sids[e.stream_id]] += e.text
+        if not more:
+            break
+    for i in audios:
+        assert texts[i] == want[i][1], f"stream {i}"
+
+
+def test_engine_staggered_join_and_slot_reuse():
+    model, hp = build_model(seed=1)
+    a0 = make_audio(6400, seed=10)
+    a1 = make_audio(6400, seed=11)
+
+    def solo(audio):
+        s = StreamSession(model, 0)
+        s.process_incremental(audio)
+        s.finalize()
+        return s.get_transcript()
+
+    engine = BatchedEngine(model, batch_per_group=1)  # force slot reuse
+    texts = {}
+
+    sid0 = engine.start_stream(0)
+    texts[sid0] = ""
+    engine.push_audio(sid0, a0)
+    engine.end_stream(sid0)
+    for _ in range(60):
+        ev, more = engine.tick()
+        for e in ev:
+            texts[e.stream_id] += e.text
+        if not more:
+            break
+
+    # slot is now free; second stream reuses it and must start from clean state
+    sid1 = engine.start_stream(0)
+    texts[sid1] = ""
+    engine.push_audio(sid1, a1)
+    engine.end_stream(sid1)
+    for _ in range(60):
+        ev, more = engine.tick()
+        for e in ev:
+            texts[e.stream_id] += e.text
+        if not more:
+            break
+
+    assert texts[sid0] == solo(a0)
+    assert texts[sid1] == solo(a1)
+
+
+def test_engine_drop_stream_frees_slot():
+    model, hp = build_model(seed=2)
+    engine = BatchedEngine(model, batch_per_group=1)
+    sid = engine.start_stream(0)
+    engine.push_audio(sid, make_audio(3200, seed=12))
+    engine.tick()
+    engine.drop_stream(sid)
+    # slot free again
+    sid2 = engine.start_stream(0)
+    assert sid2 != sid

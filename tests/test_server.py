@@ -1,0 +1,138 @@
+"""Server E2E over a real TCP socket: protocol framing, multi-stream
+multiplexing on one connection, ACK/STARTED/TEXT/ENDED flow, language errors,
+and transcript parity with a direct StreamSession."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from helpers import tiny_model
+
+from nemotron_tpu.api import ASRModel
+from nemotron_tpu.serving import protocol as P
+from nemotron_tpu.serving.client import StreamClient, transcribe_file
+from nemotron_tpu.serving.server import StreamServer
+from nemotron_tpu.streaming.session import StreamSession
+
+
+def make_audio(n, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    sig = 0.4 * np.sin(2 * np.pi * 260 * t) + 0.2 * rng.standard_normal(n)
+    return (np.clip(sig, -1, 1) * 32767).astype(np.int16)
+
+
+def build_model(seed=0):
+    hp, params = tiny_model(seed=seed)
+    vocab = [("▁w%d" % i) if i % 2 == 0 else ("p%d" % i)
+             for i in range(hp.vocab_size - 1)]
+    return ASRModel(hp, params, vocab)
+
+
+@pytest.fixture()
+def model():
+    return build_model()
+
+
+async def start_test_server(model):
+    srv = StreamServer(model, batch_per_group=4)
+    srv._engine_task = asyncio.create_task(srv.engine_loop())
+    server = await asyncio.start_server(srv.handle_conn, "127.0.0.1", 0)
+    port = server.sockets[0].getsockname()[1]
+    return srv, server, port
+
+
+def test_server_single_stream_matches_session(model):
+    audio = make_audio(9600, seed=1)
+
+    sess = StreamSession(model, 0)
+    sess.process_incremental(audio)
+    sess.finalize()
+    want = sess.get_transcript()
+
+    async def run():
+        srv, server, port = await start_test_server(model)
+        try:
+            text = await asyncio.wait_for(
+                transcribe_file(audio, host="127.0.0.1", port=port,
+                                chunk_ms=100),
+                timeout=60,
+            )
+            return text
+        finally:
+            server.close()
+
+    got = asyncio.run(run())
+    assert got == want
+
+
+def test_server_two_streams_one_connection(model):
+    a0 = make_audio(6400, seed=2)
+    a1 = make_audio(6400, seed=3)
+
+    def solo(audio):
+        s = StreamSession(model, 0)
+        s.process_incremental(audio)
+        s.finalize()
+        return s.get_transcript()
+
+    async def run():
+        srv, server, port = await start_test_server(model)
+        try:
+            c = await StreamClient.connect("127.0.0.1", port)
+            sid0 = await c.start_stream(0)
+            sid1 = await c.start_stream(0)
+            assert sid0 != sid1
+            texts = {sid0: "", sid1: ""}
+            ended = set()
+
+            async def pump():
+                while len(ended) < 2:
+                    opcode, sid, payload = await c.recv()
+                    if opcode == P.OP_TEXT:
+                        texts[sid] += payload.decode()
+                    elif opcode == P.OP_ENDED:
+                        texts[sid] += payload.decode()
+                        ended.add(sid)
+
+            reader = asyncio.create_task(pump())
+            for off in range(0, 6400, 1600):
+                await c.push(sid0, a0[off : off + 1600])
+                await c.push(sid1, a1[off : off + 1600])
+            await c.send(P.OP_STREAM_END, sid0)
+            await c.send(P.OP_STREAM_END, sid1)
+            await asyncio.wait_for(reader, timeout=60)
+            c.close()
+            return texts[sid0], texts[sid1]
+        finally:
+            server.close()
+
+    t0, t1 = asyncio.run(run())
+    assert t0 == solo(a0)
+    assert t1 == solo(a1)
+
+
+def test_server_ack_and_error_frames(model):
+    async def run():
+        srv, server, port = await start_test_server(model)
+        try:
+            c = await StreamClient.connect("127.0.0.1", port)
+            sid = await c.start_stream(0)
+            await c.push(sid, make_audio(1600, seed=4))
+            opcode, rsid, payload = await c.recv()
+            assert opcode == P.OP_ACK and rsid == sid
+            assert json.loads(payload)["queued_samples"] == 1600
+            # SET_LANG on a monolingual model -> ERROR
+            await c.send(P.OP_SET_LANG, sid, "ru-RU")
+            while True:
+                opcode, rsid, payload = await c.recv()
+                if opcode in (P.OP_ERROR, P.OP_LANG_SET):
+                    break
+            assert opcode == P.OP_ERROR
+            c.close()
+        finally:
+            server.close()
+
+    asyncio.run(asyncio.wait_for(run(), timeout=60))
