@@ -7,6 +7,23 @@ streaming, batched multi-stream serving, CLI + TCP server, and speaker
 diarization.
 """
 
+import os as _os
+
+# Persistent compilation cache: the axon TPU remote compiler takes ~2 min per
+# new shape; caching makes every CLI/server/bench start after the first fast.
+if _os.environ.get("NEMOTRON_TPU_NO_COMPILE_CACHE") != "1":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("NEMOTRON_TPU_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/nemotron_tpu_jax")),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
 from .config import CacheConfig, Hparams, LatencyMode  # noqa: F401
 
 __version__ = "0.1.0"

@@ -125,3 +125,89 @@ def export_random_checkpoint(
     }
     write_gguf(path, kv, t, tensor_types)
     return t
+
+
+def export_random_diarize_checkpoint(path: str, seed: int = 0):
+    """Synthesize a diarize.gguf (vad.* MarbleNet + spk.* TitaNet) with the
+    converter's tensor names and layouts (reference:
+    scripts/convert_diarize_to_gguf.py)."""
+    from nemotron_tpu.diarize.params import SPK_TOPOLOGY, VAD_TOPOLOGY
+
+    rng = np.random.default_rng(seed)
+
+    def r(*shape, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(shape[-1]) if len(shape) > 1 else 0.05
+        return rng.standard_normal(shape).astype(np.float32) * scale
+
+    t: dict[str, np.ndarray] = {}
+
+    def add_bn(prefix, c):
+        t[f"{prefix}.weight"] = 1.0 + 0.1 * r(c)
+        t[f"{prefix}.bias"] = 0.1 * r(c)
+        t[f"{prefix}.running_mean"] = 0.1 * r(c)
+        t[f"{prefix}.running_var"] = np.abs(r(c)) + 0.5
+
+    def add_blocks(ns, topology, se_reduction=8):
+        for b, (k, _dil, repeat, cin, cout, residual, separable, has_se) in \
+                enumerate(topology):
+            prefix = f"{ns}.encoder.encoder.{b}"
+            c_in = cin
+            for s in range(repeat):
+                base = 5 * s
+                if separable:
+                    t[f"{prefix}.mconv.{base}.conv.weight"] = r(k, c_in, scale=0.2)
+                    t[f"{prefix}.mconv.{base + 1}.conv.weight"] = r(cout, c_in)
+                    add_bn(f"{prefix}.mconv.{base + 2}", cout)
+                else:
+                    t[f"{prefix}.mconv.0.conv.weight"] = r(cout, c_in)
+                    add_bn(f"{prefix}.mconv.1", cout)
+                c_in = cout
+            if residual:
+                t[f"{prefix}.res.0.0.conv.weight"] = r(cout, cin)
+                add_bn(f"{prefix}.res.0.1", cout)
+            if has_se:
+                se_idx = 5 * (repeat - 1) + 3
+                t[f"{prefix}.mconv.{se_idx}.fc.0.weight"] = r(
+                    cout // se_reduction, cout)
+                t[f"{prefix}.mconv.{se_idx}.fc.2.weight"] = r(
+                    cout, cout // se_reduction)
+
+    add_blocks("vad", VAD_TOPOLOGY)
+    add_blocks("spk", SPK_TOPOLOGY)
+
+    t["vad.decoder.decoder_layers.0.weight"] = r(2, 128)
+    t["vad.decoder.decoder_layers.0.bias"] = r(2)
+
+    c_enc = SPK_TOPOLOGY[-1][4]  # 3072
+    attn_c = 128
+    emb_dim = 192
+    dp = "spk.decoder"
+    t[f"{dp}._pooling.attention_layer.0.conv_layer.weight"] = r(attn_c, 3 * c_enc)
+    t[f"{dp}._pooling.attention_layer.0.conv_layer.bias"] = r(attn_c)
+    add_bn(f"{dp}._pooling.attention_layer.0.bn", attn_c)
+    t[f"{dp}._pooling.attention_layer.2.weight"] = r(c_enc, attn_c)
+    t[f"{dp}._pooling.attention_layer.2.bias"] = r(c_enc)
+    add_bn(f"{dp}.emb_layers.0.0", 2 * c_enc)
+    t[f"{dp}.emb_layers.0.1.weight"] = r(emb_dim, 2 * c_enc)
+    t[f"{dp}.emb_layers.0.1.bias"] = r(emb_dim)
+
+    for ns in ("vad", "spk"):
+        t[f"{ns}.preprocessor.featurizer.fb"] = rng.uniform(
+            0, 1, (80, 257)).astype(np.float32)
+        t[f"{ns}.preprocessor.featurizer.window"] = np.hanning(400).astype(
+            np.float32)
+
+    kv = {
+        "general.architecture": "nemo-diarize",
+        "general.name": "synthetic-diarize",
+        "vad.sample_rate": 16000, "vad.n_mels": 80, "vad.n_fft": 512,
+        "vad.window_size": 0.025, "vad.window_stride": 0.01,
+        "vad.normalize": "None", "vad.window": "hann", "vad.n_classes": 2,
+        "spk.sample_rate": 16000, "spk.n_mels": 80, "spk.n_fft": 512,
+        "spk.window_size": 0.025, "spk.window_stride": 0.01,
+        "spk.normalize": "per_feature", "spk.window": "hann",
+        "spk.emb_dim": 192, "spk.attn_channels": 128,
+    }
+    write_gguf(path, kv, t)
+    return t
