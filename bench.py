@@ -46,6 +46,14 @@ def run(batch_sizes=(128, 256, 512), dtype=jnp.bfloat16, steps=20):
     print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
 
     params = random_params(hp, seed=0, dtype=dtype)
+    # Bias the joint toward blank so greedy-decode emission statistics match
+    # real speech (~0.3-1 tokens per 80 ms frame) instead of random-weight
+    # behavior (~10 symbols/frame, which no checkpoint exhibits). The decode
+    # while_loop's early exit then measures realistically.
+    import dataclasses as _dc
+
+    out_b = params.joint.out_b.at[hp.blank_id].add(6.0)
+    params = _dc.replace(params, joint=_dc.replace(params.joint, out_b=out_b))
     window512 = melops.padded_window(np.hanning(400).astype(np.float32))
     fb = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (hp.n_mels, 257)), dtype=jnp.float32

@@ -55,37 +55,28 @@ class StreamPreprocessor:
     def process(self, audio_i16) -> np.ndarray:
         """audio_i16: int16 (or float in [-1,1]) samples.
         Returns log-mel [n_frames, n_mels] (possibly empty)."""
+        from .. import native
+
         audio = np.asarray(audio_i16)
-        if audio.dtype == np.int16:
-            x = audio.astype(np.float32) / 32768.0
-        else:
-            x = audio.astype(np.float32)
-        if x.size == 0:
+        if audio.size == 0:
             return np.zeros((0, self.n_mels), dtype=np.float32)
 
-        prev = np.empty_like(x)
-        prev[0] = self.last_sample
-        prev[1:] = x[:-1]
-        emph = x - melops.PREEMPH * prev
-        self.last_sample = float(x[-1])
+        # s16 -> f32 scale + carried pre-emphasis (native C++ when available)
+        emph, self.last_sample = native.pcm_to_f32_preemph(
+            audio, melops.PREEMPH, self.last_sample
+        )
         self.buf = np.concatenate([self.buf, emph])
 
         n_frames = self.n_frames_for(0)
         if n_frames <= 0:
             return np.zeros((0, self.n_mels), dtype=np.float32)
 
-        # Frame on host (strided view), pad frame count to a bucket of 8 to
-        # bound recompiles, compute log-mel on device.
+        # Frame on host (native strided copy), pad frame count to a bucket of
+        # 8 to bound recompiles, compute log-mel on device.
         n_pad = -(-n_frames // 8) * 8
         frames = np.zeros((n_pad, self.n_fft), dtype=np.float32)
-        sw = self.buf.strides[0]
-        view = np.lib.stride_tricks.as_strided(
-            self.buf,
-            shape=(n_frames, self.n_fft),
-            strides=(self.hop * sw, sw),
-            writeable=False,
-        )
-        frames[:n_frames] = view
+        native.frame_signal(self.buf, n_frames, self.hop, self.n_fft,
+                            out=frames[:n_frames])
         mel = _mel_kernel(jnp.asarray(frames), self.window512, self.fb)
         self.buf = self.buf[n_frames * self.hop :].copy()
         return np.asarray(mel[:n_frames])

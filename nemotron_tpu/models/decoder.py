@@ -72,14 +72,22 @@ def greedy_decode(
         n_valid = jnp.full((b,), t, dtype=jnp.int32)
 
     emb_table = params.decoder.embedding
+    s_max = MAX_SYMBOLS_PER_STEP
 
     def frame_body(carry, inp):
         h, c, prev = carry
         enc_t, t_idx = inp  # enc_t: [B, D]
         frame_active = t_idx < n_valid  # [B]
 
-        def sym_body(carry2, _):
-            h, c, prev, done = carry2
+        # Early-exit symbol loop: most frames emit 0-2 symbols before blank,
+        # so a while_loop that stops once every stream has blanked typically
+        # runs 1-3 joint+LSTM steps instead of a fixed 10.
+        def sym_cond(st):
+            _h, _c, _prev, done, _toks, sym = st
+            return jnp.logical_and(sym < s_max, jnp.any(~done))
+
+        def sym_body(st):
+            h, c, prev, done, toks, sym = st
             emb = emb_table[prev]  # [B, decoder_dim]
             dec_out, h2, c2 = lstm2_step(params.decoder, emb, h, c)
             logits = joint_step(params.joint, enc_t, dec_out)
@@ -92,13 +100,17 @@ def greedy_decode(
             c = jnp.where(gate, c2, c)
             prev = jnp.where(emit, tok, prev)
             done = jnp.logical_or(done, is_blank)
-            return (h, c, prev, done), out_tok
+            toks = jax.lax.dynamic_update_slice(
+                toks, out_tok[:, None], (0, sym)
+            )
+            return (h, c, prev, done, toks, sym + 1)
 
         done0 = ~frame_active
-        (h, c, prev, _), toks = jax.lax.scan(
-            sym_body, (h, c, prev, done0), None, length=MAX_SYMBOLS_PER_STEP
+        toks0 = jnp.full((enc_t.shape[0], s_max), -1, dtype=jnp.int32)
+        h, c, prev, _, toks, _ = jax.lax.while_loop(
+            sym_cond, sym_body, (h, c, prev, done0, toks0, jnp.int32(0))
         )
-        return (h, c, prev), toks  # toks: [S, B]
+        return (h, c, prev), toks  # toks: [B, S]
 
     enc_tm = jnp.swapaxes(enc_out, 0, 1)  # [T, B, D]
     (h, c, prev), toks = jax.lax.scan(
@@ -106,7 +118,7 @@ def greedy_decode(
         (state.h, state.c, state.prev_token),
         (enc_tm, jnp.arange(t, dtype=jnp.int32)),
     )
-    tokens = jnp.transpose(toks, (2, 0, 1))  # [B, T, S]
+    tokens = jnp.transpose(toks, (1, 0, 2))  # [T, B, S] -> [B, T, S]
     new_state = DecodeState(
         h=h,
         c=c,
