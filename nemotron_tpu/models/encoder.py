@@ -14,8 +14,15 @@ additive validity mask from cache_valid_len at :1034-1045).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Unroll factor for the scan over conformer layers. Unrolling lets XLA
+# schedule across layer boundaries (less per-iteration overhead) at the cost
+# of compile time; tune via env for benchmarking.
+LAYER_SCAN_UNROLL = int(os.environ.get("NEMOTRON_TPU_LAYER_UNROLL", "1"))
 
 from ..config import CacheConfig, Hparams
 from ..ops.basic import ffn, glu, layer_norm, linear
@@ -119,7 +126,7 @@ def encode_batch(params, hp: Hparams, mel, prompt_onehot=None, n_frames=None):
     def body(carry, lp):
         return conformer_layer(carry, pe, lp, hp, attn_mask=attn_mask), None
 
-    x, _ = jax.lax.scan(body, x, params.layers)
+    x, _ = jax.lax.scan(body, x, params.layers, unroll=LAYER_SCAN_UNROLL)
     if params.prompt is not None and prompt_onehot is not None:
         x = prompt_fusion(params.prompt, x, prompt_onehot)
     return x
@@ -180,7 +187,8 @@ def stream_encode_step(
         return y, (kc2, vc2, cc2)
 
     x, (k_out, v_out, conv_out) = jax.lax.scan(
-        body, x, (params.layers, k_cache, v_cache, conv_cache)
+        body, x, (params.layers, k_cache, v_cache, conv_cache),
+        unroll=LAYER_SCAN_UNROLL,
     )
 
     if params.prompt is not None and prompt_onehot is not None:

@@ -48,6 +48,7 @@ class StreamSession:
         self.token_frames: list[int] = []
         self.transcript = ""
         self.total_audio_seconds = 0.0
+        self.total_compute_seconds = 0.0
         self.total_chunks = 0
         self._finalized = False
 
@@ -69,11 +70,15 @@ class StreamSession:
         self.token_frames.clear()
         self.transcript = ""
         self.total_audio_seconds = 0.0
+        self.total_compute_seconds = 0.0
         self.total_chunks = 0
         self._finalized = False
 
     # ------------------------------------------------------------------
     def _run_chunk(self, mel_chunk: np.ndarray, n_valid: int) -> str:
+        import time
+
+        t0 = time.perf_counter()
         frame_base = int(self.state.decode.frame_offset[0])
         self.state, tokens = self.model.stream_step(
             self.cfg,
@@ -84,6 +89,10 @@ class StreamSession:
             jnp.asarray([max(self.prompt_index, 0)], dtype=jnp.int32),
         )
         self.total_chunks += 1
+        import jax
+
+        jax.block_until_ready(tokens)
+        self.total_compute_seconds += time.perf_counter() - t0
         new = tokens_to_list(tokens)[0]
         if not new:
             return ""
@@ -142,6 +151,55 @@ class StreamSession:
 
     def get_tokens(self) -> list[int]:
         return list(self.tokens)
+
+    def rtf(self) -> float:
+        """Real-time factor: compute time / audio time (nemo-stream.h:259-261)."""
+        if self.total_audio_seconds <= 0:
+            return 0.0
+        return self.total_compute_seconds / self.total_audio_seconds
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint the full streaming context (device caches + decoder
+        state + host mel/audio buffers + transcript) so a dropped stream can
+        resume exactly where it left off. The reference cannot do this
+        (SURVEY §5.4: 'a dropped stream loses its context')."""
+        import jax
+
+        leaves, treedef = jax.tree.flatten(self.state)
+        np.savez(
+            path,
+            n_leaves=len(leaves),
+            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+            mel_buffer=self.mel_buffer,
+            pp_buf=self.preprocessor.buf,
+            pp_last=np.float32(self.preprocessor.last_sample),
+            tokens=np.asarray(self.tokens, dtype=np.int64),
+            token_frames=np.asarray(self.token_frames, dtype=np.int64),
+            transcript=np.frombuffer(self.transcript.encode("utf-8"), np.uint8),
+            prompt_index=np.int64(self.prompt_index),
+            total_audio_seconds=np.float64(self.total_audio_seconds),
+            total_chunks=np.int64(self.total_chunks),
+        )
+
+    def restore_state(self, path: str) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        z = np.load(path)
+        n = int(z["n_leaves"])
+        _, treedef = jax.tree.flatten(self.state)
+        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
+        self.state = jax.tree.unflatten(treedef, leaves)
+        self.mel_buffer = z["mel_buffer"]
+        self.preprocessor.buf = z["pp_buf"]
+        self.preprocessor.last_sample = float(z["pp_last"])
+        self.tokens = [int(x) for x in z["tokens"]]
+        self.token_frames = [int(x) for x in z["token_frames"]]
+        self.transcript = bytes(z["transcript"]).decode("utf-8")
+        self.prompt_index = int(z["prompt_index"])
+        self.total_audio_seconds = float(z["total_audio_seconds"])
+        self.total_chunks = int(z["total_chunks"])
+        self._finalized = False
 
     def timed_words(self) -> list[tuple[str, float]]:
         """(word, start_seconds) pairs from emitted tokens (80 ms frames)."""

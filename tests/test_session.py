@@ -161,3 +161,28 @@ def test_batch_bucketing_invariance():
     finally:
         api.MEL_BUCKET = old
     assert ids1 == ids2
+
+
+def test_session_checkpoint_resume(tmp_path):
+    """Save mid-stream, resume in a fresh session, outputs must be identical
+    to an uninterrupted run (capability the reference lacks: SURVEY §5.4)."""
+    model, np_model, hp, cfg = build_model(seed=5)
+    audio = make_audio(16000, seed=21)
+
+    ref = StreamSession(model, cfg)
+    ref.process_incremental(audio)
+    ref.finalize()
+
+    s1 = StreamSession(model, cfg)
+    s1.process_incremental(audio[:7000])
+    path = str(tmp_path / "stream_state.npz")
+    s1.save_state(path)
+
+    s2 = StreamSession(model, cfg)
+    s2.restore_state(path)
+    s2.process_incremental(audio[7000:])
+    s2.finalize()
+
+    assert s2.get_tokens() == ref.get_tokens()
+    assert s2.get_transcript() == ref.get_transcript()
+    assert s2.rtf() > 0.0
