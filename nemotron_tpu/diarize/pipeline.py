@@ -424,3 +424,51 @@ def speaker_at(timeline: list[SpeakerSpan], t: float) -> int:
     if best < 0 or t > timeline[best].end_sec:
         return -1
     return timeline[best].speaker
+
+
+@dataclasses.dataclass
+class VadSegment:
+    start_sec: float
+    end_sec: float
+
+
+def vad_extract_segments(speech_probs, onset=0.5, offset=0.5, pad_onset=0.0,
+                         pad_offset=0.0, min_duration_on=0.0,
+                         min_duration_off=0.0, frame_period_sec=0.01):
+    """Offline threshold-based segment extraction from a VAD probability
+    stream (reference: vad_extract_segments, diarize_vad.cpp:507-563)."""
+    probs = np.asarray(speech_probs, np.float32)
+    fp = frame_period_sec
+    min_on = int(np.ceil(min_duration_on / fp))
+    min_off = int(np.ceil(min_duration_off / fp))
+
+    out: list[VadSegment] = []
+    in_seg = False
+    seg_start = -1
+    for t, p in enumerate(probs):
+        if not in_seg:
+            if p >= onset:
+                in_seg = True
+                seg_start = t
+        elif p < offset:
+            if t - seg_start >= min_on:
+                out.append(VadSegment(seg_start * fp - pad_onset,
+                                      t * fp + pad_offset))
+            in_seg = False
+    if in_seg and len(probs) - seg_start >= min_on:
+        out.append(VadSegment(seg_start * fp - pad_onset,
+                              len(probs) * fp + pad_offset))
+
+    if min_off > 0 and len(out) >= 2:
+        merged = [out[0]]
+        for seg in out[1:]:
+            if (seg.start_sec - merged[-1].end_sec) / fp < min_off:
+                merged[-1].end_sec = seg.end_sec
+            else:
+                merged.append(seg)
+        out = merged
+
+    for seg in out:
+        seg.start_sec = max(0.0, seg.start_sec)
+        seg.end_sec = max(seg.start_sec, seg.end_sec)
+    return out

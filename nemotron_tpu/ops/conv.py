@@ -36,18 +36,23 @@ def causal_conv2d(x, w, b, stride: int):
 
 
 def causal_dw_conv2d(x, w, b, stride: int):
-    """Depthwise: x [B, H, W, C]; w (C, 1, KH, KW)."""
-    c = w.shape[0]
+    """Depthwise: x [B, H, W, C]; w (C, 1, KH, KW).
+
+    Implemented as KH*KW strided shifted multiply-adds on the VPU: XLA's
+    grouped-convolution path (feature_group_count=C) is far slower than C
+    independent elementwise MACs for 3x3 kernels.
+    """
     kh, kw = w.shape[2], w.shape[3]
-    w_hwio = jnp.transpose(w, (2, 3, 1, 0))  # (KH, KW, 1, C)
-    y = jax.lax.conv_general_dilated(
-        x,
-        w_hwio,
-        window_strides=(stride, stride),
-        padding=[(kh - 1, stride - 1), (kw - 1, stride - 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+    xp = jnp.pad(x, ((0, 0), (kh - 1, stride - 1), (kw - 1, stride - 1), (0, 0)))
+    ho = (xp.shape[1] - kh) // stride + 1
+    wo = (xp.shape[2] - kw) // stride + 1
+    y = None
+    for di in range(kh):
+        for dj in range(kw):
+            sl = xp[:, di : di + stride * ho : stride,
+                    dj : dj + stride * wo : stride, :]
+            term = sl * w[:, 0, di, dj]
+            y = term if y is None else y + term
     return y + b
 
 

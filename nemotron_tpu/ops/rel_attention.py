@@ -13,10 +13,18 @@ TPU-native formulation of the reference's rel-pos MHA builders
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import nn
 
 from .basic import linear
+
+# Streaming chunks have tiny query lengths (T=1..14) and modest key lengths
+# (~71-84): the score/context contractions become B*H batched [T,Dh]x[Dh,S]
+# matmuls — thousands of near-empty MXU passes. With this flag those two
+# contractions are formulated as broadcast multiply-reduce (VPU) instead.
+VPU_ATTN = os.environ.get("NEMOTRON_TPU_VPU_ATTN", "0") == "1"
 
 
 def rel_shift_gather(pos_raw, klen: int):
@@ -89,7 +97,14 @@ def rel_pos_mha(
     ph = pos.reshape(pos_len, n_heads, d_head)
 
     # content: (q + u) @ k^T ; position: (q + v) @ pos^T then rel-shift
-    content = jnp.einsum("bthd,bshd->bhts", qh + bias_u[None, None], kh)
+    q_u = qh + bias_u[None, None]
+    if VPU_ATTN and T <= 16:
+        # [B,T,1,H,Dh] * [B,1,S,H,Dh] -> sum Dh -> [B,H,T,S]
+        content = jnp.transpose(
+            (q_u[:, :, None] * kh[:, None]).sum(-1), (0, 3, 1, 2)
+        )
+    else:
+        content = jnp.einsum("bthd,bshd->bhts", q_u, kh)
     pos_raw = jnp.einsum("bthd,phd->bhtp", qh + bias_v[None, None], ph)
     pos_sc = rel_shift_gather(pos_raw, klen)
 
@@ -99,7 +114,12 @@ def rel_pos_mha(
         scores = scores + attn_mask[:, None, None, :]
 
     weights = nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bhts,bshd->bthd", weights, vh).reshape(B, T, D)
+    if VPU_ATTN and T <= 16:
+        # [B,T,S,H,1] * [B,1,S,H,Dh] -> sum S -> [B,T,H,Dh]
+        w_tshd = jnp.transpose(weights, (0, 2, 3, 1))  # [B,T,S,H]
+        ctx = (w_tshd[..., None] * vh[:, None]).sum(2).reshape(B, T, D)
+    else:
+        ctx = jnp.einsum("bhts,bshd->bthd", weights, vh).reshape(B, T, D)
     out = linear(ctx, out_w)
     if caches_out is not None:
         return out, caches_out[0], caches_out[1]

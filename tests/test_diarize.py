@@ -317,3 +317,22 @@ def test_pipeline_json_drain():
     assert objs[1] == {"word": "world", "at": 2.0}
     assert objs[2] == {"word": "again", "at": 2.0}
     assert p.drain_json() == []
+
+
+def test_vad_extract_segments():
+    from nemotron_tpu.diarize.pipeline import vad_extract_segments
+
+    probs = [0.1] * 10 + [0.9] * 50 + [0.1] * 30 + [0.9] * 20 + [0.1] * 5
+    segs = vad_extract_segments(probs, onset=0.5, offset=0.5)
+    assert len(segs) == 2
+    assert abs(segs[0].start_sec - 0.10) < 1e-6
+    assert abs(segs[0].end_sec - 0.60) < 1e-6
+    assert abs(segs[1].start_sec - 0.90) < 1e-6
+    # merge with min_duration_off bridging the 0.3 s gap
+    merged = vad_extract_segments(probs, onset=0.5, offset=0.5,
+                                  min_duration_off=0.4)
+    assert len(merged) == 1
+    assert abs(merged[0].end_sec - 1.10) < 1e-6
+    # trailing open segment closes at the end
+    segs2 = vad_extract_segments([0.9] * 30)
+    assert len(segs2) == 1 and abs(segs2[0].end_sec - 0.30) < 1e-6
