@@ -54,8 +54,10 @@ class ASRModel:
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_gguf(cls, path: str, dtype=jnp.float32) -> "ASRModel":
-        hp, params, meta = load_model(path, dtype=dtype)
+    def from_gguf(cls, path: str, dtype=jnp.float32,
+                  keep_quantized: bool = False) -> "ASRModel":
+        hp, params, meta = load_model(path, dtype=dtype,
+                                      keep_quantized=keep_quantized)
         return cls(hp, params, meta["vocab"], meta["prompt_dict"])
 
     @classmethod

@@ -19,8 +19,14 @@ def layer_norm(x, w, b, eps: float = 1e-5):
 
 
 def linear(x, w, b=None):
-    """x @ w.T (+ b). w in PyTorch (out, in) orientation."""
-    y = jnp.einsum("...i,oi->...o", x, w)
+    """x @ w.T (+ b). w in PyTorch (out, in) orientation, either a dense
+    array or a QuantizedTensor (weight-only int8, dequantized in-matmul)."""
+    if hasattr(w, "w_i8"):
+        from .quant import linear_q8
+
+        y = linear_q8(x, w)
+    else:
+        y = jnp.einsum("...i,oi->...o", x, w)
     if b is not None:
         y = y + b
     return y

@@ -243,11 +243,16 @@ def _normalize_conv_weights(name: str, arr: np.ndarray) -> np.ndarray:
     return arr
 
 
-def load_model(path: str, dtype=jnp.float32) -> tuple[Hparams, ModelParams, dict]:
+def load_model(
+    path: str, dtype=jnp.float32, keep_quantized: bool = False
+) -> tuple[Hparams, ModelParams, dict]:
     """Load a GGUF checkpoint into stacked JAX parameter pytrees.
 
     Returns (hparams, params, meta) where meta carries vocab / prompt dict.
-    Quantized (Q8_0/Q4_0/F16) tensors are dequantized at load.
+    Q4_0/F16 tensors are dequantized at load. Q8_0 tensors are dequantized
+    unless keep_quantized: then encoder-layer Q8_0 matrices stay quantized as
+    QuantizedTensor pytrees (int8 + per-32-block scales) and dequantize inside
+    the matmuls — halving model memory and weight HBM traffic.
     """
     g = read_gguf(path)
     hp = hparams_from_kv(g.kv)
@@ -271,11 +276,22 @@ def load_model(path: str, dtype=jnp.float32) -> tuple[Hparams, ModelParams, dict
 
     stacked = {}
     for field, suffix in _LAYER_MAP.items():
-        per_layer = [
-            _normalize_conv_weights(
-                f"encoder.layers.{i}.{suffix}", raw[f"encoder.layers.{i}.{suffix}"]
+        names = [f"encoder.layers.{i}.{suffix}" for i in range(hp.n_layers)]
+        if keep_quantized and all(
+            g.tensors[n].ggml_type == 8 for n in names  # GGML_Q8_0
+        ):
+            from .ops.quant import QuantizedTensor, from_gguf_q8
+
+            qts = [
+                from_gguf_q8(g.raw_tensor(n), *g.tensors[n].shape) for n in names
+            ]
+            stacked[field] = QuantizedTensor(
+                w_i8=jnp.stack([q.w_i8 for q in qts]),
+                scales=jnp.stack([q.scales for q in qts]),
             )
-            for i in range(hp.n_layers)
+            continue
+        per_layer = [
+            _normalize_conv_weights(n, raw[n]) for n in names
         ]
         stacked[field] = jnp.asarray(np.stack(per_layer), dtype=dtype)
     layers = ConformerLayerParams(**stacked)

@@ -186,3 +186,38 @@ def test_session_checkpoint_resume(tmp_path):
     assert s2.get_tokens() == ref.get_tokens()
     assert s2.get_transcript() == ref.get_transcript()
     assert s2.rtf() > 0.0
+
+
+def test_multilingual_language_switch_mid_stream():
+    """Per-chunk prompt switching (reference: nemo-stream.cpp:236-242 one-hot
+    refilled per chunk). Changing the language must change decoding output
+    from the next chunk on, and resolve_language must follow the prompt dict."""
+    from helpers import tiny_hparams
+    from nemotron_tpu.params import random_params
+
+    hp = tiny_hparams(num_prompts=4)
+    params = random_params(hp, seed=6)
+    vocab = [("▁w%d" % i) if i % 2 == 0 else ("p%d" % i)
+             for i in range(hp.vocab_size - 1)]
+    model = ASRModel(hp, params, vocab,
+                     prompt_dict={"en-US": 0, "ru-RU": 2, "auto": 3})
+    model.default_prompt_index = 3
+    audio = make_audio(9600, seed=31)
+
+    s_en = StreamSession(model, 0, lang="en-US")
+    s_ru = StreamSession(model, 0, lang="ru-RU")
+    t_en = s_en.process_incremental(audio) + s_en.finalize()
+    t_ru = s_ru.process_incremental(audio) + s_ru.finalize()
+    assert t_en != t_ru  # prompt index must affect the output
+
+    # switching mid-stream takes effect on subsequent chunks
+    s_sw = StreamSession(model, 0, lang="en-US")
+    s_sw.process_incremental(audio[:4800])
+    assert s_sw.set_language("ru-RU")
+    s_sw.process_incremental(audio[4800:])
+    s_sw.finalize()
+
+    # unknown code rejected, monolingual models reject everything
+    assert not s_sw.set_language("xx-XX")
+    mono = ASRModel(tiny_hparams(), random_params(tiny_hparams(), seed=1), vocab)
+    assert mono.resolve_language("en-US") is None
