@@ -78,25 +78,30 @@ class ASRModel:
         idx = self.prompt_dict.get(lang)
         return idx
 
-    @functools.lru_cache(maxsize=16)
-    def _stream_step_fn(self, cfg: CacheConfig, batch: int):
+    @functools.lru_cache(maxsize=32)
+    def _stream_step_fn(self, cfg: CacheConfig, batch: int, all_active: bool):
         hp = self.hp
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def fn(params, state, mel_chunk, n_valid, active, prompt_idx):
             return stream_step(
-                params, state, mel_chunk, n_valid, active,
+                params, state, mel_chunk, n_valid,
+                None if all_active else active,
                 prompt_idx if hp.num_prompts > 0 else None, hp=hp, cfg=cfg,
             )
 
         return fn
 
     def stream_step(self, cfg, state, mel_chunk, n_valid, active, prompt_idx=None):
+        """active may be an array or None (static all-active fast path)."""
         b = mel_chunk.shape[0]
         if prompt_idx is None:
             prompt_idx = jnp.full((b,), max(self.default_prompt_index, 0),
                                   dtype=jnp.int32)
-        fn = self._stream_step_fn(cfg, b)
+        all_active = active is None
+        if all_active:
+            active = jnp.ones((b,), dtype=bool)  # placeholder arg
+        fn = self._stream_step_fn(cfg, b, all_active)
         return fn(self.params, state, mel_chunk, n_valid, active, prompt_idx)
 
     def init_stream_state(self, batch: int, cfg: CacheConfig):

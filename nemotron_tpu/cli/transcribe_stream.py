@@ -32,6 +32,8 @@ def parse_args(argv: list[str]) -> dict:
         "num_speakers": -1,
         "sub_shift_ms": 750,
         "timestamps": False,
+        "bf16": False,
+        "quantized": False,
     }
     pos = []
     i = 0
@@ -57,6 +59,10 @@ def parse_args(argv: list[str]) -> dict:
             opts["sub_shift_ms"] = int(argv[i])
         elif a == "--timestamps":
             opts["timestamps"] = True
+        elif a == "--bf16":
+            opts["bf16"] = True
+        elif a == "--quantized":
+            opts["quantized"] = True
         elif a in ("--cpu", "--cuda", "--metal", "--tpu"):
             pass  # backend flags accepted for CLI compatibility; JAX picks the device
         else:
@@ -84,8 +90,14 @@ def main(argv=None) -> int:
     from ..config import CacheConfig
     from ..streaming.session import StreamSession
 
+    import jax.numpy as jnp
+
     t0 = time.time()
-    model = ASRModel.from_gguf(opts["model"])
+    model = ASRModel.from_gguf(
+        opts["model"],
+        dtype=jnp.bfloat16 if opts["bf16"] else jnp.float32,
+        keep_quantized=opts["quantized"],
+    )
     print(f"loaded model in {time.time() - t0:.1f}s "
           f"(d_model={model.hp.d_model}, layers={model.hp.n_layers})",
           file=sys.stderr)

@@ -54,7 +54,26 @@ def stream_step(
     prompt_idx:[B] int32 language prompt index (multilingual models) or None
 
     Returns (state', tokens [B, chunk_len, S] int32 with -1 = no emission).
+
+    Pass active=None (static) to compile the all-active fast path: skips the
+    per-slot state gating selects over the ~MB-scale caches. The batched
+    engine uses it whenever every slot is live.
     """
+    if active is None:
+        enc, k2, v2, c2, valid2 = stream_encode_step(
+            params, hp, cfg, mel_chunk,
+            state.k_cache, state.v_cache, state.conv_cache, state.cache_valid,
+            prompt_onehot=(
+                jax.nn.one_hot(prompt_idx, hp.num_prompts, dtype=mel_chunk.dtype)
+                if params.prompt is not None and prompt_idx is not None else None
+            ),
+        )
+        dec_state, tokens = greedy_decode(
+            params, hp, enc, state.decode, n_valid=n_valid.astype(jnp.int32)
+        )
+        return StreamState(k_cache=k2, v_cache=v2, conv_cache=c2,
+                           cache_valid=valid2, decode=dec_state), tokens
+
     active = active.astype(bool)
     n_valid = jnp.where(active, n_valid, 0).astype(jnp.int32)
 

@@ -191,14 +191,21 @@ def main(argv=None) -> int:
     ap.add_argument("--unix", default=None, help="unix socket path")
     ap.add_argument("--batch", type=int, default=32,
                     help="stream slots per latency group")
+    ap.add_argument("--bf16", action="store_true",
+                    help="load weights as bfloat16 (half memory, TPU-native)")
+    ap.add_argument("--quantized", action="store_true",
+                    help="keep Q8_0 weights quantized in HBM (quarter memory)")
     args = ap.parse_args(argv)
 
     from ..api import ASRModel
+    import jax.numpy as jnp
 
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.model == "random":
-        model = ASRModel.random()
+        model = ASRModel.random(dtype=dtype)
     else:
-        model = ASRModel.from_gguf(args.model)
+        model = ASRModel.from_gguf(args.model, dtype=dtype,
+                                   keep_quantized=args.quantized)
 
     srv = StreamServer(model, batch_per_group=args.batch)
     asyncio.run(srv.serve(args.host, args.port, args.unix))

@@ -151,12 +151,15 @@ class EngineGroup:
         events: list[Event] = []
         if active.any():
             frame_base = np.asarray(self.state.decode.frame_offset)
+            # all slots live with full chunks -> static fast path (no per-slot
+            # state gating selects over the caches)
+            active_arg = None if bool(active.all()) else jnp.asarray(active)
             self.state, tokens = self.model.stream_step(
                 self.cfg,
                 self.state,
                 jnp.asarray(mel),
                 jnp.asarray(n_valid),
-                jnp.asarray(active),
+                active_arg,
                 jnp.asarray(prompt_idx),
             )
             tok_np = np.asarray(tokens)

@@ -193,3 +193,23 @@ def test_final_chunk_valid_out_override():
     assert got2 == toks2
     # emissions beyond n_valid must be empty
     assert np.all(np.asarray(t2)[0, 2:] == -1)
+
+
+def test_all_active_fast_path_matches_gated():
+    """stream_step(active=None) must equal the gated step with all-True."""
+    B = 2
+    mel = jnp.asarray(np.random.default_rng(8).standard_normal(
+        (B, CFG.chunk_mel_frames, HP.n_mels)).astype(np.float32))
+    n_valid = jnp.full((B,), CFG.valid_out_len, jnp.int32)
+
+    s1 = init_stream_state(B, HP, CFG)
+    s1, t1 = stream_step(PARAMS, s1, mel, n_valid, jnp.ones((B,), bool),
+                         hp=HP, cfg=CFG)
+    s2 = init_stream_state(B, HP, CFG)
+    s2, t2 = stream_step(PARAMS, s2, mel, n_valid, None, hp=HP, cfg=CFG)
+
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1.k_cache), np.asarray(s2.k_cache),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s1.cache_valid),
+                                  np.asarray(s2.cache_valid))
