@@ -82,6 +82,50 @@ class StreamPreprocessor:
         return np.asarray(mel[:n_frames])
 
 
+def process_many(pps: list[StreamPreprocessor], audios: list) -> list[np.ndarray]:
+    """Advance many stream preprocessors with ONE device mel call.
+
+    Host-side bookkeeping (pre-emphasis carry, buffer splice) runs per stream
+    (native C++), but the spectral work for every stream lands in a single
+    batched kernel — the per-slot-dispatch alternative costs one device
+    round-trip per stream per tick. Frame counts are padded to the per-call
+    max (bucketed) and results unpacked per stream.
+    """
+    from .. import native
+
+    n = len(pps)
+    assert n == len(audios)
+    counts = []
+    for pp, audio in zip(pps, audios):
+        audio = np.asarray(audio)
+        if audio.size:
+            emph, pp.last_sample = native.pcm_to_f32_preemph(
+                audio, melops.PREEMPH, pp.last_sample
+            )
+            pp.buf = np.concatenate([pp.buf, emph])
+        counts.append(pp.n_frames_for(0))
+
+    n_max = max(counts, default=0)
+    if n_max <= 0:
+        return [np.zeros((0, pp.n_mels), np.float32) for pp in pps]
+    n_pad = -(-n_max // 8) * 8
+    s_pad = 1
+    while s_pad < n:
+        s_pad *= 2
+
+    frames = np.zeros((s_pad, n_pad, melops.N_FFT), dtype=np.float32)
+    for i, (pp, cnt) in enumerate(zip(pps, counts)):
+        if cnt > 0:
+            native.frame_signal(pp.buf, cnt, pp.hop, pp.n_fft,
+                                out=frames[i, :cnt])
+            pp.buf = pp.buf[cnt * pp.hop :].copy()
+
+    mel = np.asarray(_mel_kernel(
+        jnp.asarray(frames), pps[0].window512, pps[0].fb
+    ))
+    return [mel[i, :cnt] for i, cnt in enumerate(counts)]
+
+
 def mel_full(audio_i16, filterbank, window) -> np.ndarray:
     """One-shot (offline) mel of a whole utterance, identical semantics to a
     single process() call on a fresh stream."""

@@ -21,11 +21,12 @@ def main(argv=None) -> int:
     from ..api import ASRModel
 
     model = ASRModel.from_gguf(pos[0])
-    f = sys.stdin.buffer if pos[1] == "-" else open(pos[1], "rb")
-    raw = f.read()
-    if f is not sys.stdin.buffer:
-        f.close()
-    audio = np.frombuffer(raw, dtype="<i2")
+    if pos[1] == "-":
+        audio = np.frombuffer(sys.stdin.buffer.read(), dtype="<i2")
+    else:
+        from ..audio.wavio import maybe_read_audio
+
+        audio = maybe_read_audio(pos[1])
 
     t0 = time.time()
     text = model.transcribe_audio(audio, timestamp_words=timestamps)

@@ -116,7 +116,19 @@ def main(argv=None) -> int:
         )
 
     chunk_samples = opts["chunk_ms"] * cfg.sample_rate // 1000
-    f = sys.stdin.buffer if opts["audio"] == "-" else open(opts["audio"], "rb")
+    if opts["audio"] == "-":
+        f = sys.stdin.buffer
+    elif opts["audio"].endswith(".wav"):
+        import io
+
+        from ..audio.wavio import read_wav
+
+        samples, rate = read_wav(opts["audio"])
+        if rate != cfg.sample_rate:
+            raise SystemExit(f"expected {cfg.sample_rate} Hz wav, got {rate}")
+        f = io.BytesIO(samples.astype("<i2").tobytes())
+    else:
+        f = open(opts["audio"], "rb")
 
     print(f"streaming: chunk={opts['chunk_ms']}ms right_context="
           f"{opts['right_context']} latency={cfg.latency_ms}ms",
@@ -143,7 +155,7 @@ def main(argv=None) -> int:
                     for line in diar.drain_json():
                         print(line)
     finally:
-        if f is not sys.stdin.buffer:
+        if f is not sys.stdin.buffer and hasattr(f, "close"):
             f.close()
 
     tail = sess.finalize()

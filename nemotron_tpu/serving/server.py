@@ -136,6 +136,7 @@ class StreamServer:
     # ------------------------------------------------------------------
     async def engine_loop(self) -> None:
         loop = asyncio.get_running_loop()
+        last_stats = 0.0
         while True:
             await self.wake.wait()
             self.wake.clear()
@@ -157,11 +158,16 @@ class StreamServer:
                             self.conn_streams.get(w, set()).discard(ev.stream_id)
                         self.writers.pop(ev.stream_id, None)
                         freed += 2 * self._queued_samples.pop(ev.stream_id, 0)
-                if True:
-                    # release budget for consumed audio (approximate: on ended)
-                    async with self.mem_free:
-                        self.mem_used = max(0, self.mem_used - freed)
-                        self.mem_free.notify_all()
+                # release budget for consumed audio (approximate: on ended)
+                async with self.mem_free:
+                    self.mem_used = max(0, self.mem_used - freed)
+                    self.mem_free.notify_all()
+                import time as _t
+
+                if _t.monotonic() - last_stats > 30.0:
+                    last_stats = _t.monotonic()
+                    print(f"[stats] {json.dumps(self.engine.stats())} "
+                          f"mem={self.mem_used >> 20}MB", file=sys.stderr)
 
     async def serve(self, host: str | None = None, port: int | None = None,
                     unix_path: str | None = None) -> None:

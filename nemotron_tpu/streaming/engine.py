@@ -62,6 +62,12 @@ class EngineGroup:
         self.state = model.init_stream_state(batch, cfg)
         self.slots: list[_Slot | None] = [None] * batch
         self.n_active_streams = 0
+        # observability (the reference's phase timers, nemo-stream.h:237-244)
+        self.total_ticks = 0
+        self.total_steps = 0
+        self.total_step_seconds = 0.0
+        self.total_audio_seconds = 0.0
+        self.total_chunks = 0
 
     def has_free_slot(self) -> bool:
         return self.n_active_streams < self.batch
@@ -103,14 +109,25 @@ class EngineGroup:
         self.slots[idx].ending = True
 
     # ------------------------------------------------------------------
-    def _drain_audio(self, slot: _Slot) -> None:
-        if not slot.audio_queue:
+    def _drain_audio_all(self) -> None:
+        """Batched frontend: every slot with queued audio advances through ONE
+        device mel call (audio/frontend.process_many)."""
+        from ..audio.frontend import process_many
+
+        pending = [
+            (i, s) for i, s in enumerate(self.slots)
+            if s is not None and s.audio_queue
+        ]
+        if not pending:
             return
-        audio = np.concatenate(slot.audio_queue)
-        slot.audio_queue.clear()
-        mel = slot.preproc.process(audio)
-        if mel.shape[0]:
-            slot.mel_buf = np.concatenate([slot.mel_buf, mel], axis=0)
+        pps = [s.preproc for _, s in pending]
+        audios = [np.concatenate(s.audio_queue) for _, s in pending]
+        for _, s in pending:
+            s.audio_queue.clear()
+        mels = process_many(pps, audios)
+        for (_, s), mel in zip(pending, mels):
+            if mel.shape[0]:
+                s.mel_buf = np.concatenate([s.mel_buf, mel], axis=0)
 
     def tick(self) -> tuple[list[Event], bool]:
         """One batched round. Returns (events, more_work_pending)."""
@@ -125,10 +142,10 @@ class EngineGroup:
         finalizing: list[int] = []
         ended_now: list[int] = []
 
+        self._drain_audio_all()
         for i, slot in enumerate(self.slots):
             if slot is None:
                 continue
-            self._drain_audio(slot)
             prompt_idx[i] = max(slot.prompt_index, 0)
             if slot.mel_buf.shape[0] >= chunk_mel:
                 mel[i] = slot.mel_buf[:chunk_mel]
@@ -148,8 +165,18 @@ class EngineGroup:
                 else:
                     ended_now.append(i)
 
+        self.total_ticks += 1
         events: list[Event] = []
         if active.any():
+            import time as _time
+
+            t0 = _time.perf_counter()
+            self.total_steps += 1
+            n_act = int(active.sum())
+            self.total_chunks += n_act
+            self.total_audio_seconds += (
+                n_act * cfg.shift_mel_frames * cfg.hop_length / cfg.sample_rate
+            )
             frame_base = np.asarray(self.state.decode.frame_offset)
             # all slots live with full chunks -> static fast path (no per-slot
             # state gating selects over the caches)
@@ -163,6 +190,7 @@ class EngineGroup:
                 jnp.asarray(prompt_idx),
             )
             tok_np = np.asarray(tokens)
+            self.total_step_seconds += _time.perf_counter() - t0
             for i in np.nonzero(active)[0]:
                 slot = self.slots[i]
                 ids = []
@@ -254,6 +282,23 @@ class BatchedEngine:
         rc, slot = self._route[stream_id]
         s = self.groups[rc].slots[slot]
         return s.transcript if s else ""
+
+    def stats(self) -> dict:
+        """Aggregate engine observability counters (per latency group)."""
+        out = {"streams": len(self._route), "groups": {}}
+        for rc, g in self.groups.items():
+            rtf = (g.total_step_seconds / g.total_audio_seconds
+                   if g.total_audio_seconds else 0.0)
+            out["groups"][rc] = {
+                "active_slots": g.n_active_streams,
+                "ticks": g.total_ticks,
+                "steps": g.total_steps,
+                "chunks": g.total_chunks,
+                "audio_seconds": round(g.total_audio_seconds, 2),
+                "step_seconds": round(g.total_step_seconds, 3),
+                "rtf": round(rtf, 5),
+            }
+        return out
 
     def tick(self) -> tuple[list[Event], bool]:
         events: list[Event] = []

@@ -80,3 +80,44 @@ def test_frame_count_formula():
     for _ in range(3):
         m = pp.process(make_audio(1280, seed=5))
         assert m.shape[0] == 8
+
+
+def test_wav_reader_roundtrip(tmp_path):
+    import struct
+
+    from nemotron_tpu.audio.wavio import maybe_read_audio, read_wav
+
+    samples = make_audio(4000, seed=9)
+    path = str(tmp_path / "t.wav")
+    data = samples.astype("<i2").tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000,
+                                      32000, 2, 16))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+    got, rate = read_wav(path)
+    assert rate == 16000
+    np.testing.assert_array_equal(got, samples)
+    np.testing.assert_array_equal(maybe_read_audio(path), samples)
+
+
+def test_process_many_matches_individual():
+    from nemotron_tpu.audio.frontend import StreamPreprocessor, process_many
+
+    fb = make_fb(seed=6)
+    n_streams = 5
+    rng = np.random.default_rng(7)
+    audios = [make_audio(int(rng.integers(500, 6000)), seed=i)
+              for i in range(n_streams)]
+
+    pps_a = [StreamPreprocessor(fb, WINDOW) for _ in range(n_streams)]
+    pps_b = [StreamPreprocessor(fb, WINDOW) for _ in range(n_streams)]
+
+    # two rounds to exercise carried state through the batched path
+    for rnd in range(2):
+        batched = process_many(pps_a, audios)
+        for i in range(n_streams):
+            single = pps_b[i].process(audios[i])
+            assert batched[i].shape == single.shape
+            if single.size:
+                assert np.max(np.abs(batched[i] - single)) < 1e-5
