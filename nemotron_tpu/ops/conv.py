@@ -62,6 +62,7 @@ def conv_subsampling(sub, mel):
     Flatten order matches the reference ([W, C, H] permute, flat = c*W_out + w:
     nemo-ggml.cpp:1014-1022).
     """
+    mel = mel.astype(sub.conv0_w.dtype)  # frontend emits f32; follow params
     x = mel[..., None]  # [B, H=T, W=mels, C=1]
     x = causal_conv2d(x, sub.conv0_w, sub.conv0_b, 2)
     x = jax.nn.relu(x)

@@ -62,6 +62,13 @@ class EngineGroup:
         self.state = model.init_stream_state(batch, cfg)
         self.slots: list[_Slot | None] = [None] * batch
         self.n_active_streams = 0
+        # host mirror of decode.frame_offset (avoids a device sync per tick)
+        self.frame_offsets = np.zeros(batch, dtype=np.int64)
+        # pipelined token readback: results of the previous step, processed
+        # while the next step runs on device (hides the transfer round-trip)
+        self._pending = None  # (tokens_dev, active, n_valid, finalizing, frame_base)
+        # pipelined mel batch: dispatched this tick, appended next tick
+        self._pending_mel = None  # (handle, [slot indices])
         # observability (the reference's phase timers, nemo-stream.h:237-244)
         self.total_ticks = 0
         self.total_steps = 0
@@ -86,6 +93,7 @@ class EngineGroup:
                 mask = np.zeros(self.batch, dtype=bool)
                 mask[i] = True
                 self.state = reset_slots(self.state, jnp.asarray(mask), self.hp)
+                self.frame_offsets[i] = 0
                 self.n_active_streams += 1
                 return i
         return None
@@ -109,10 +117,9 @@ class EngineGroup:
         self.slots[idx].ending = True
 
     # ------------------------------------------------------------------
-    def _drain_audio_all(self) -> None:
-        """Batched frontend: every slot with queued audio advances through ONE
-        device mel call (audio/frontend.process_many)."""
-        from ..audio.frontend import process_many
+    def _dispatch_mel(self) -> None:
+        """Dispatch the batched frontend for queued audio (async)."""
+        from ..audio.frontend import process_many_start
 
         pending = [
             (i, s) for i, s in enumerate(self.slots)
@@ -124,35 +131,93 @@ class EngineGroup:
         audios = [np.concatenate(s.audio_queue) for _, s in pending]
         for _, s in pending:
             s.audio_queue.clear()
-        mels = process_many(pps, audios)
-        for (_, s), mel in zip(pending, mels):
-            if mel.shape[0]:
+        handle = process_many_start(pps, audios)
+        if handle is not None:
+            self._pending_mel = (handle, [i for i, _ in pending])
+
+    def _collect_mel(self, pending) -> None:
+        """Block on a previously dispatched mel batch and append per slot."""
+        from ..audio.frontend import process_many_finish
+
+        if pending is None:
+            return
+        handle, idxs = pending
+        mels = process_many_finish(handle)
+        for i, mel in zip(idxs, mels):
+            s = self.slots[i]
+            if s is not None and mel.shape[0]:
                 s.mel_buf = np.concatenate([s.mel_buf, mel], axis=0)
 
+    def _process_pending(self) -> list[Event]:
+        """Read back and scatter the PREVIOUS step's tokens (device likely has
+        moved on to the next step by now, hiding the transfer latency)."""
+        if self._pending is None:
+            return []
+        tokens_dev, active, n_valid, finalizing, frame_base = self._pending
+        self._pending = None
+        tok_np = np.asarray(tokens_dev)
+        self.total_step_seconds += 0.0
+        events: list[Event] = []
+        for i in np.nonzero(active)[0]:
+            slot = self.slots[i]
+            if slot is None:
+                continue
+            ids = []
+            for t in range(tok_np.shape[1]):
+                for sym in range(tok_np.shape[2]):
+                    tk = int(tok_np[i, t, sym])
+                    if tk >= 0:
+                        ids.append(tk)
+                        slot.token_frames.append(int(frame_base[i]) + t)
+            if ids:
+                slot.tokens.extend(ids)
+                text = self.model.tokenizer.decode(ids)
+                slot.transcript += text
+            else:
+                text = ""
+            if i in finalizing:
+                events.append(Event(slot.stream_id, "ended", text))
+                self.release(i)
+            elif text:
+                events.append(Event(slot.stream_id, "text", text))
+        return events
+
     def tick(self) -> tuple[list[Event], bool]:
-        """One batched round. Returns (events, more_work_pending)."""
+        """One batched round: process the previous step's results, dispatch
+        the next step. Returns (events, more_work_pending)."""
         cfg, hp = self.cfg, self.hp
         chunk_mel = cfg.chunk_mel_frames
         b = self.batch
+        self.total_ticks += 1
+        events: list[Event] = []
 
         mel = np.zeros((b, chunk_mel, hp.n_mels), dtype=np.float32)
         n_valid = np.zeros(b, dtype=np.int32)
         active = np.zeros(b, dtype=bool)
         prompt_idx = np.zeros(b, dtype=np.int32)
-        finalizing: list[int] = []
+        finalizing: set[int] = set()
         ended_now: list[int] = []
 
-        self._drain_audio_all()
+        # Pipeline the frontend: dispatch this tick's mel batch (async), then
+        # block on the PREVIOUS tick's batch while the new one runs. Chunk
+        # detection lags one tick; both transfer round-trips hide behind
+        # device work.
+        prev_mel = self._pending_mel
+        self._pending_mel = None
+        self._dispatch_mel()
+        self._collect_mel(prev_mel)
         for i, slot in enumerate(self.slots):
             if slot is None:
                 continue
             prompt_idx[i] = max(slot.prompt_index, 0)
+            mel_inflight = (self._pending_mel is not None
+                            and i in self._pending_mel[1])
             if slot.mel_buf.shape[0] >= chunk_mel:
                 mel[i] = slot.mel_buf[:chunk_mel]
                 slot.mel_buf = slot.mel_buf[cfg.shift_mel_frames :]
                 n_valid[i] = cfg.valid_out_len
                 active[i] = True
-            elif slot.ending:
+            elif slot.ending and not mel_inflight:
                 total = slot.mel_buf.shape[0]
                 real_new = total - cfg.pre_encode_cache_size
                 nv = real_new // cfg.subsampling_factor if real_new > 0 else 0
@@ -161,12 +226,10 @@ class EngineGroup:
                     slot.mel_buf = slot.mel_buf[:0]
                     n_valid[i] = nv
                     active[i] = True
-                    finalizing.append(i)
+                    finalizing.add(i)
                 else:
                     ended_now.append(i)
 
-        self.total_ticks += 1
-        events: list[Event] = []
         if active.any():
             import time as _time
 
@@ -177,9 +240,7 @@ class EngineGroup:
             self.total_audio_seconds += (
                 n_act * cfg.shift_mel_frames * cfg.hop_length / cfg.sample_rate
             )
-            frame_base = np.asarray(self.state.decode.frame_offset)
-            # all slots live with full chunks -> static fast path (no per-slot
-            # state gating selects over the caches)
+            frame_base = self.frame_offsets.copy()
             active_arg = None if bool(active.all()) else jnp.asarray(active)
             self.state, tokens = self.model.stream_step(
                 self.cfg,
@@ -189,39 +250,31 @@ class EngineGroup:
                 active_arg,
                 jnp.asarray(prompt_idx),
             )
-            tok_np = np.asarray(tokens)
+            self.frame_offsets[active] += n_valid[active]
+            prev = self._pending
+            self._pending = (tokens, active, n_valid, finalizing, frame_base)
+            # read back the PREVIOUS step's tokens while this one runs
+            if prev is not None:
+                self._pending, keep = prev, self._pending
+                events.extend(self._process_pending())
+                self._pending = keep
             self.total_step_seconds += _time.perf_counter() - t0
-            for i in np.nonzero(active)[0]:
-                slot = self.slots[i]
-                ids = []
-                for t in range(tok_np.shape[1]):
-                    for s in range(tok_np.shape[2]):
-                        tk = int(tok_np[i, t, s])
-                        if tk >= 0:
-                            ids.append(tk)
-                            slot.token_frames.append(int(frame_base[i]) + t)
-                if ids:
-                    slot.tokens.extend(ids)
-                    text = self.model.tokenizer.decode(ids)
-                    slot.transcript += text
-                    kind = "text" if i not in finalizing else "ended"
-                    if kind == "text":
-                        events.append(Event(slot.stream_id, "text", text))
-                    else:
-                        events.append(Event(slot.stream_id, "ended", text))
-                elif i in finalizing:
-                    events.append(Event(slot.stream_id, "ended", ""))
-            for i in finalizing:
-                self.release(i)
+        else:
+            events.extend(self._process_pending())
 
         for i in ended_now:
             events.append(Event(self.slots[i].stream_id, "ended", ""))
             self.release(i)
 
-        more = any(
-            s is not None
-            and (s.mel_buf.shape[0] >= chunk_mel or s.audio_queue or s.ending)
-            for s in self.slots
+        more = (
+            self._pending is not None
+            or self._pending_mel is not None
+            or any(
+                s is not None
+                and (s.mel_buf.shape[0] >= chunk_mel or s.audio_queue
+                     or s.ending)
+                for s in self.slots
+            )
         )
         return events, more
 

@@ -122,3 +122,39 @@ def test_engine_drop_stream_frees_slot():
     # slot free again
     sid2 = engine.start_stream(0)
     assert sid2 != sid
+
+
+def test_engine_mixed_latency_groups():
+    """Streams with different right_context live in separate groups and both
+    produce correct transcripts."""
+    model, hp = build_model(seed=3)
+    a0 = make_audio(8000, seed=20)
+    a1 = make_audio(8000, seed=21)
+
+    def solo(audio, rc):
+        s = StreamSession(model, rc)
+        s.process_incremental(audio)
+        s.finalize()
+        return s.get_transcript()
+
+    engine = BatchedEngine(model, batch_per_group=2)
+    sid0 = engine.start_stream(right_context=0)
+    sid1 = engine.start_stream(right_context=1)
+    assert set(engine.groups.keys()) == {0, 1}
+    texts = {sid0: "", sid1: ""}
+    for off in range(0, 8000, 1600):
+        engine.push_audio(sid0, a0[off : off + 1600])
+        engine.push_audio(sid1, a1[off : off + 1600])
+        ev, _ = engine.tick()
+        for e in ev:
+            texts[e.stream_id] += e.text
+    engine.end_stream(sid0)
+    engine.end_stream(sid1)
+    for _ in range(50):
+        ev, more = engine.tick()
+        for e in ev:
+            texts[e.stream_id] += e.text
+        if not more:
+            break
+    assert texts[sid0] == solo(a0, 0)
+    assert texts[sid1] == solo(a1, 1)

@@ -112,3 +112,32 @@ def test_model_load_from_synthetic_gguf(tmp_path):
     assert params.decoder.w_ih.shape == (2, 4 * hp.decoder_dim, hp.decoder_dim)
     assert params.subsampling.out_w.shape == (hp.d_model, hp.subsampling_flat_dim)
     assert len(meta["vocab"]) == hp.vocab_size - 1
+
+
+def test_legacy_vocab_blob_fallback(tmp_path):
+    """Files with only the legacy 8-byte-record 'tokenizer.vocab' blob must
+    load (reference loader fallback: nemo-ggml.cpp:156-169)."""
+    from helpers import tiny_hparams
+    from scripts_support import export_random_checkpoint
+    from nemotron_tpu.gguf.reader import read_gguf
+    from nemotron_tpu.gguf.writer import write_gguf
+    from nemotron_tpu.params import load_model
+
+    hp = tiny_hparams()
+    path = str(tmp_path / "m.gguf")
+    export_random_checkpoint(hp, path, seed=5)
+    g = read_gguf(path)
+    kv = dict(g.kv)
+    vocab = kv.pop("tokenizer.vocab_list")
+    blob = bytearray()
+    for tok in vocab:
+        rec = tok.encode("utf-8")[:7] + b"\x00"
+        blob += rec + b"\x00" * (8 - len(rec))
+    kv["tokenizer.vocab"] = bytes(blob)
+    path2 = str(tmp_path / "legacy.gguf")
+    write_gguf(path2, kv, g.load_all())
+
+    hp2, params, meta = load_model(path2)
+    assert len(meta["vocab"]) == hp.vocab_size - 1
+    # 7-byte-truncated tokens still decode
+    assert meta["vocab"][1] == vocab[1][:7] or meta["vocab"][1] == vocab[1]

@@ -262,3 +262,18 @@ def test_prompt_fusion():
     oh_t = np.broadcast_to(onehot[0], (t_out, 4))
     want = R.prompt_fusion(base, oh_t, np2["prompt"])
     assert mx(got[0], want) < 1e-4
+
+
+def test_detokenizer_timestamps_and_lang_markers():
+    from nemotron_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(["▁hello", "wor", "ld", "▁<en-US>", "▁two"])
+    assert tok.decode([0, 1, 2]) == " helloworld"
+    # word timestamps: {%.2f} after each word start, frames * 1280/16000 s
+    got = tok.decode([0, 1, 2, 4], timestamp_words=True,
+                     frames=[0, 0, 0, 25])
+    assert got == " {0.00}helloworld {2.00}two"
+    # inline language markers pass through
+    assert tok.decode([3]) == " <en-US>"
+    # out-of-range ids are dropped
+    assert tok.decode([99, 0]) == " hello"
