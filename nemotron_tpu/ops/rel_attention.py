@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 from jax import nn
 
@@ -32,15 +33,32 @@ def rel_shift_gather(pos_raw, klen: int):
 
     out[..., i, j] = pos_raw[..., i, j + qlen - 1 - i]; with pos_len = 2*klen-1
     and qlen <= klen every index is in range.
+
+    For streaming-sized qlen the shift is computed as a matmul against a
+    constant one-hot selection tensor: TPU gathers move one element per cycle,
+    which made take_along_axis the single largest cost of the streaming step
+    (~10M gathered elements per chunk at B=128); the MXU does the same
+    permutation as a batched [pos_len, klen] matmul essentially for free.
     """
     qlen = pos_raw.shape[-2]
+    pos_len = pos_raw.shape[-1]
     idx = (
         jnp.arange(klen, dtype=jnp.int32)[None, :]
         - jnp.arange(qlen, dtype=jnp.int32)[:, None]
         + (qlen - 1)
     )  # [qlen, klen], constant
-    idx = jnp.broadcast_to(idx, (*pos_raw.shape[:-2], qlen, klen))
-    return jnp.take_along_axis(pos_raw, idx, axis=-1)
+    if qlen <= 32:
+        onehot = jax.nn.one_hot(idx, pos_len, dtype=pos_raw.dtype,
+                                axis=1)  # [qlen, pos_len, klen] constant
+        return jnp.einsum("...tp,tpk->...tk", pos_raw, onehot)
+    # large qlen (batch mode): the reference's pad->reshape->drop->slice trick
+    # (nemo-ggml.cpp:625-662) — pure layout ops, still zero gathers
+    lead = pos_raw.shape[:-2]
+    padded = jnp.pad(pos_raw,
+                     [(0, 0)] * len(lead) + [(0, 0), (1, 0)])
+    flat = padded.reshape(*lead, qlen * (pos_len + 1))
+    out = flat[..., qlen : qlen + qlen * pos_len].reshape(*lead, qlen, pos_len)
+    return out[..., :klen]
 
 
 def rel_pos_mha(

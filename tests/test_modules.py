@@ -277,3 +277,13 @@ def test_detokenizer_timestamps_and_lang_markers():
     assert tok.decode([3]) == " <en-US>"
     # out-of-range ids are dropped
     assert tok.decode([99, 0]) == " hello"
+
+
+@pytest.mark.parametrize("qlen,klen", [(40, 40), (33, 64), (64, 70)])
+def test_rel_shift_large_qlen(qlen, klen):
+    """The large-qlen reshape-trick path must also equal the golden trick."""
+    raw = rand(2, qlen, 2 * klen - 1, seed=30)
+    got = rel_shift_gather(jnp.asarray(raw), klen)
+    for b in range(2):
+        want = R.rel_shift(raw[b], klen)
+        assert mx(got[b], want) < 1e-6
