@@ -88,7 +88,11 @@ def greedy_decode(
 
         def sym_body(st):
             h, c, prev, done, toks, sym = st
-            emb = emb_table[prev]  # [B, decoder_dim]
+            # embedding lookup as one-hot matmul: row gathers are slow on TPU
+            # and the [B, V] x [V, D] product is exact (0/1 selector)
+            onehot = jax.nn.one_hot(prev, emb_table.shape[0],
+                                    dtype=emb_table.dtype)
+            emb = onehot @ emb_table  # [B, decoder_dim]
             dec_out, h2, c2 = lstm2_step(params.decoder, emb, h, c)
             logits = joint_step(params.joint, enc_t, dec_out)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)

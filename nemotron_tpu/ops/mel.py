@@ -61,11 +61,15 @@ def mel_from_frames(frames, window512, filterbank):
 def frame_signal(audio, n_frames: int):
     """audio: [..., n_samples] -> overlapping frames [..., n_frames, n_fft]
     (frame t starts at t*HOP; caller guarantees n_samples >= (n_frames-1)*HOP+N_FFT).
+
+    Stacked static slices, NOT fancy indexing: constant-index gathers still
+    lower to element-at-a-time TPU gathers, while slices are free layout ops.
     """
-    idx = (
-        np.arange(n_frames)[:, None] * HOP + np.arange(N_FFT)[None, :]
-    )  # constant gather index
-    return audio[..., idx]
+    frames = [
+        jax.lax.slice_in_dim(audio, t * HOP, t * HOP + N_FFT, axis=-1)
+        for t in range(n_frames)
+    ]
+    return jnp.stack(frames, axis=-2)
 
 
 def preemphasis(audio, last_sample):
