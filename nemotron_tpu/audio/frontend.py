@@ -23,13 +23,36 @@ import numpy as np
 from ..ops import mel as melops
 
 
+import os as _os
+
+_USE_PALLAS_MEL = _os.environ.get("NEMOTRON_TPU_MEL_KERNEL", "xla") == "pallas"
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_interpret() -> bool:
+    """Mosaic only compiles for TPU; interpret elsewhere (CPU test runs)."""
+    return next(iter(jnp.zeros(1).devices())).platform != "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=("n_frames",))
 def _mel_kernel(buf, window512, filterbank, *, n_frames):
     """buf: [..., buf_len] contiguous pre-emphasized samples. Framing happens
-    ON DEVICE via a constant-index gather: uploading the raw buffer instead of
-    expanded 512-sample windows cuts host->device traffic ~3.2x (frames
-    overlap by 352 of 512 samples) — the transfer is the serving bottleneck
-    on tunneled TPUs."""
+    ON DEVICE (stacked slices): uploading the raw buffer instead of expanded
+    512-sample windows cuts host->device traffic ~3.2x (frames overlap by 352
+    of 512 samples) — the transfer is the serving bottleneck on tunneled TPUs.
+
+    NEMOTRON_TPU_MEL_KERNEL=pallas routes batched 2D calls through the fused
+    Pallas kernel (ops/mel_pallas.py) instead of the XLA fusion."""
+    if _USE_PALLAS_MEL and buf.ndim == 2 and buf.shape[0] % 8 == 0:
+        from ..ops.mel_pallas import HAVE_PALLAS, N_BINS_PADDED, mel_frames_pallas
+
+        if HAVE_PALLAS:
+            fb_t = jnp.pad(
+                filterbank, ((0, 0), (0, N_BINS_PADDED - filterbank.shape[1]))
+            ).T
+            return mel_frames_pallas(buf, window512[None, :], fb_t,
+                                     n_frames=n_frames, block_b=8,
+                                     interpret=_pallas_interpret())
     frames = melops.frame_signal(buf, n_frames)
     return melops.mel_from_frames(frames, window512, filterbank)
 
