@@ -31,7 +31,8 @@ _USE_PALLAS_MEL = _os.environ.get("NEMOTRON_TPU_MEL_KERNEL", "xla") == "pallas"
 @functools.lru_cache(maxsize=1)
 def _pallas_interpret() -> bool:
     """Mosaic only compiles for TPU; interpret elsewhere (CPU test runs)."""
-    return next(iter(jnp.zeros(1).devices())).platform != "tpu"
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    return dev.platform != "tpu"
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
