@@ -33,7 +33,7 @@ except Exception:
 BASELINE_STREAMS = 1.0 / 0.064
 
 
-def run(batch_sizes=(128, 256, 512), dtype=jnp.bfloat16, steps=20):
+def run(batch_sizes=(256, 320, 384), dtype=jnp.bfloat16, steps=20):
     from nemotron_tpu.config import CacheConfig, Hparams, LatencyMode
     from nemotron_tpu.models.asr import stream_step
     from nemotron_tpu.ops import mel as melops
