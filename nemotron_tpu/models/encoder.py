@@ -40,11 +40,15 @@ def conformer_layer(
     conv_cache=None,
     attn_mask=None,
     left_context: int | None = None,
+    split_kv: bool = False,
 ):
     """One conformer layer (batch or cached). x: [B, T, D].
 
     Structure (nemo-ggml.cpp:845-890): x + .5*FFN1 -> +MHA -> +Conv -> +.5*FFN2
-    -> final LN. Cached mode returns (y, k_cache', v_cache', conv_cache').
+    -> final LN. Cached mode returns (y, k_out, v_out, conv_cache'); with
+    split_kv the k/v outputs are the NEW frames only (caller shifts the
+    buffers once for all layers — avoids rematerializing the 70-frame caches
+    per layer, which was ~45% of the streaming step).
     """
     cached = left_context is not None
     res = x
@@ -68,6 +72,7 @@ def conformer_layer(
         v_cache=v_cache,
         attn_mask=attn_mask,
         left_context=left_context,
+        split_kv=split_kv,
     )
     if cached:
         cur, k_out, v_out = mha_out
@@ -179,17 +184,21 @@ def stream_encode_step(
 
     def body(carry, per_layer):
         lp, kc, vc, cc = per_layer
-        y, kc2, vc2, cc2 = conformer_layer(
+        y, k_new, v_new, cc2 = conformer_layer(
             carry, pe, lp, hp,
             k_cache=kc, v_cache=vc, conv_cache=cc,
-            attn_mask=attn_mask, left_context=lc,
+            attn_mask=attn_mask, left_context=lc, split_kv=True,
         )
-        return y, (kc2, vc2, cc2)
+        return y, (k_new, v_new, cc2)
 
-    x, (k_out, v_out, conv_out) = jax.lax.scan(
+    x, (k_new_all, v_new_all, conv_out) = jax.lax.scan(
         body, x, (params.layers, k_cache, v_cache, conv_cache),
         unroll=LAYER_SCAN_UNROLL,
     )
+    # One buffer shift for ALL layers (the per-layer concat+reslice+restack
+    # chain cost ~11 ms of the 25 ms step at B=256).
+    k_out = jnp.concatenate([k_cache[:, :, chunk_len:, :], k_new_all], axis=2)
+    v_out = jnp.concatenate([v_cache[:, :, chunk_len:, :], v_new_all], axis=2)
 
     if params.prompt is not None and prompt_onehot is not None:
         x = prompt_fusion(params.prompt, x, prompt_onehot)

@@ -77,6 +77,7 @@ def rel_pos_mha(
     v_cache=None,
     attn_mask=None,
     left_context: int | None = None,
+    split_kv: bool = False,
 ):
     """Relative-position MHA over a batch.
 
@@ -84,15 +85,58 @@ def rel_pos_mha(
     pos_emb:  [pos_len, D] with pos_len = 2*klen - 1 (descending NeMo order)
     k_cache / v_cache: [B, cache_len, D] or None
     attn_mask: [B, klen] additive (0 valid / -1e9 masked) or None
-    left_context: when set, also return new K/V caches = last `left_context`
-                  rows of the concatenated K/V projections.
+    left_context: when set, also return updated K/V caches.
 
-    Returns out [B, T, D], or (out, k_cache_new, v_cache_new).
+    split_kv (streaming fast path): NEVER materializes the [B, cache+T, D]
+    concatenated K/V — scores against the cache and against the new frames are
+    computed separately and concatenated at score size ([B, H, T, klen],
+    ~1000x smaller), and the context is the sum of two matmuls. The returned
+    caches are (k_new, v_new) [B, T, D]: the caller performs the buffer shift
+    once for all layers (see stream_encode_step). Numerics identical.
+
+    Returns out [B, T, D], or (out, k_out, v_out).
     """
     B, T, D = x.shape
     q = linear(x, q_w)
     k_new = linear(x, k_w)
     v_new = linear(x, v_w)
+
+    pos = linear(pos_emb, pos_w)  # [pos_len, D]
+    pos_len = pos.shape[0]
+    qh = q.reshape(B, T, n_heads, d_head)
+    ph = pos.reshape(pos_len, n_heads, d_head)
+    q_u = qh + bias_u[None, None]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=x.dtype))
+
+    if split_kv and k_cache is not None:
+        cache_len = k_cache.shape[1]
+        klen = cache_len + T
+        kc_h = k_cache.reshape(B, cache_len, n_heads, d_head)
+        vc_h = v_cache.reshape(B, cache_len, n_heads, d_head)
+        kn_h = k_new.reshape(B, T, n_heads, d_head)
+        vn_h = v_new.reshape(B, T, n_heads, d_head)
+
+        content = jnp.concatenate(
+            [
+                jnp.einsum("bthd,bshd->bhts", q_u, kc_h),
+                jnp.einsum("bthd,bshd->bhts", q_u, kn_h),
+            ],
+            axis=-1,
+        )  # [B, H, T, klen]
+        pos_raw = jnp.einsum("bthd,phd->bhtp", qh + bias_v[None, None], ph)
+        pos_sc = rel_shift_gather(pos_raw, klen)
+        scores = (content + pos_sc) * scale
+        if attn_mask is not None:
+            scores = scores + attn_mask[:, None, None, :]
+        weights = nn.softmax(scores, axis=-1)
+        w_hist = weights[..., :cache_len]
+        w_new = weights[..., cache_len:]
+        ctx = (
+            jnp.einsum("bhts,bshd->bthd", w_hist, vc_h)
+            + jnp.einsum("bhts,bshd->bthd", w_new, vn_h)
+        ).reshape(B, T, D)
+        out = linear(ctx, out_w)
+        return out, k_new, v_new
 
     if k_cache is not None:
         k = jnp.concatenate([k_cache, k_new], axis=1)
@@ -106,16 +150,10 @@ def rel_pos_mha(
         n_keep = min(klen, left_context)
         caches_out = (k[:, klen - n_keep :], v[:, klen - n_keep :])
 
-    pos = linear(pos_emb, pos_w)  # [pos_len, D]
-    pos_len = pos.shape[0]
-
-    qh = q.reshape(B, T, n_heads, d_head)
     kh = k.reshape(B, klen, n_heads, d_head)
     vh = v.reshape(B, klen, n_heads, d_head)
-    ph = pos.reshape(pos_len, n_heads, d_head)
 
     # content: (q + u) @ k^T ; position: (q + v) @ pos^T then rel-shift
-    q_u = qh + bias_u[None, None]
     if VPU_ATTN and T <= 16:
         # [B,T,1,H,Dh] * [B,1,S,H,Dh] -> sum Dh -> [B,H,T,S]
         content = jnp.transpose(
@@ -126,7 +164,6 @@ def rel_pos_mha(
     pos_raw = jnp.einsum("bthd,phd->bhtp", qh + bias_v[None, None], ph)
     pos_sc = rel_shift_gather(pos_raw, klen)
 
-    scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=x.dtype))
     scores = (content + pos_sc) * scale
     if attn_mask is not None:
         scores = scores + attn_mask[:, None, None, :]
