@@ -71,6 +71,17 @@ class ASRModel:
     def cache_config(self, mode: LatencyMode | int = LatencyMode.PURE_CAUSAL):
         return CacheConfig.for_mode(mode, self.hp)
 
+    @property
+    def backend_name(self) -> str:
+        """Device the model computes on (nemo_get_backend_name parity)."""
+        import jax
+
+        try:
+            dev = next(iter(jax.tree.leaves(self.params)[0].devices()))
+            return f"{dev.platform}:{dev.id}"
+        except Exception:
+            return jax.default_backend()
+
     def resolve_language(self, lang: str) -> int | None:
         """Prompt code -> index (nemo_set_language, nemo-ggml.cpp:505-523)."""
         if self.hp.num_prompts <= 0:
