@@ -89,8 +89,9 @@ class ASRModel:
         idx = self.prompt_dict.get(lang)
         return idx
 
-    @functools.lru_cache(maxsize=32)
-    def _stream_step_fn(self, cfg: CacheConfig, batch: int, all_active: bool):
+    @functools.lru_cache(maxsize=64)
+    def _stream_step_fn(self, cfg: CacheConfig, batch: int, all_active: bool,
+                        phase: int):
         hp = self.hp
 
         @functools.partial(jax.jit, donate_argnums=(1,))
@@ -99,12 +100,27 @@ class ASRModel:
                 params, state, mel_chunk, n_valid,
                 None if all_active else active,
                 prompt_idx if hp.num_prompts > 0 else None, hp=hp, cfg=cfg,
+                phase=phase,
             )
 
         return fn
 
-    def stream_step(self, cfg, state, mel_chunk, n_valid, active, prompt_idx=None):
-        """active may be an array or None (static all-active fast path)."""
+    @functools.lru_cache(maxsize=16)
+    def _compact_fn(self, cfg: CacheConfig):
+        from .models.encoder import compact_cache
+
+        hp = self.hp
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def fn(k, v):
+            return compact_cache(cfg, hp, k, v)
+
+        return fn
+
+    def stream_step(self, cfg, state, mel_chunk, n_valid, active,
+                    prompt_idx=None, phase: int = 0):
+        """active may be an array or None (static all-active fast path; the
+        caller then advances phase and calls compact_state at the wrap)."""
         b = mel_chunk.shape[0]
         if prompt_idx is None:
             prompt_idx = jnp.full((b,), max(self.default_prompt_index, 0),
@@ -112,8 +128,15 @@ class ASRModel:
         all_active = active is None
         if all_active:
             active = jnp.ones((b,), dtype=bool)  # placeholder arg
-        fn = self._stream_step_fn(cfg, b, all_active)
+        fn = self._stream_step_fn(cfg, b, all_active, phase)
         return fn(self.params, state, mel_chunk, n_valid, active, prompt_idx)
+
+    def compact_state(self, cfg, state):
+        """Run the slack-buffer compaction (once per n_phases fast chunks)."""
+        k, v = self._compact_fn(cfg)(state.k_cache, state.v_cache)
+        import dataclasses
+
+        return dataclasses.replace(state, k_cache=k, v_cache=v)
 
     def init_stream_state(self, batch: int, cfg: CacheConfig):
         dtype = self.params.pos_emb.dtype

@@ -95,6 +95,11 @@ class CacheConfig:
     n_mels: int = 128
     sample_rate: int = 16000
     hop_length: int = 160
+    # K/V cache slack phases: the cache buffer holds att_left_context +
+    # n_phases*chunk_len frames; all-active steps append at a static phase
+    # offset (tiny write) and the full 70-frame shift ("compaction") happens
+    # once per n_phases chunks instead of every chunk.
+    n_phases: int = 8
 
     @property
     def conv_cache_size(self) -> int:
@@ -133,6 +138,10 @@ class CacheConfig:
     def chunk_len(self, hp: Hparams) -> int:
         """Encoder frames produced per chunk after drop_extra_pre_encoded."""
         return hp.subsampled_len(self.chunk_mel_frames) - self.drop_extra_pre_encoded
+
+    def cache_buf_len(self, hp: Hparams) -> int:
+        """Physical K/V buffer length: left context + phase slack."""
+        return self.att_left_context + self.n_phases * self.chunk_len(hp)
 
     def kv_len(self, hp: Hparams) -> int:
         return self.att_left_context + self.chunk_len(hp)

@@ -44,6 +44,7 @@ def stream_step(
     *,
     hp: Hparams,
     cfg: CacheConfig,
+    phase: int = 0,
 ):
     """Advance a batch of streams by one chunk.
 
@@ -52,12 +53,13 @@ def stream_step(
                (valid_out_len normally; fewer on the final zero-padded chunk)
     active:    [B] bool — inactive slots keep their state bit-for-bit
     prompt_idx:[B] int32 language prompt index (multilingual models) or None
+    phase:     STATIC slack-buffer phase (see stream_encode_step). With
+               active=None (all-active fast path) the step appends at the
+               phase offset and the caller must advance phase and run
+               models.encoder.compact_cache at the wrap. The gated path is
+               phase-stationary, so paused streams stay aligned.
 
     Returns (state', tokens [B, chunk_len, S] int32 with -1 = no emission).
-
-    Pass active=None (static) to compile the all-active fast path: skips the
-    per-slot state gating selects over the ~MB-scale caches. The batched
-    engine uses it whenever every slot is live.
     """
     if active is None:
         enc, k2, v2, c2, valid2 = stream_encode_step(
@@ -67,6 +69,7 @@ def stream_step(
                 jax.nn.one_hot(prompt_idx, hp.num_prompts, dtype=mel_chunk.dtype)
                 if params.prompt is not None and prompt_idx is not None else None
             ),
+            phase=phase, advance_phase=True,
         )
         dec_state, tokens = greedy_decode(
             params, hp, enc, state.decode, n_valid=n_valid.astype(jnp.int32)
@@ -93,6 +96,7 @@ def stream_step(
         state.conv_cache,
         state.cache_valid,
         prompt_onehot=prompt_onehot,
+        phase=phase, advance_phase=False,
     )
 
     dec_state, tokens = greedy_decode(params, hp, enc, state.decode, n_valid=n_valid)

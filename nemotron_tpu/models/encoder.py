@@ -157,19 +157,32 @@ def stream_encode_step(
     conv_cache,
     cache_valid,
     prompt_onehot=None,
+    phase: int = 0,
+    advance_phase: bool = True,
 ):
-    """One streaming encoder chunk.
+    """One streaming encoder chunk against a phased slack buffer.
 
     mel_chunk:   [B, chunk_mel_frames, n_mels]
-    k_cache/v_cache: [L, B, left_context, D]
+    k_cache/v_cache: [L, B, cache_buf_len, D] — the 70-frame history window
+                 lives at [phase*chunk_len, phase*chunk_len + 70)
     conv_cache:  [L, B, kernel-1, D]
     cache_valid: [B] int32 (frames of valid attention cache)
+    phase:       STATIC phase index in [0, n_phases)
+    advance_phase: True (all-active fast path) appends the new frames after
+                 the window with one tiny dynamic_update_slice — the caller
+                 then moves to phase+1 and runs `compact_cache` at the wrap.
+                 False (gated path: some streams may be inactive) rewrites the
+                 window shifted-in-place at the SAME phase, so a gated stream's
+                 window never moves while it is paused (exact reference
+                 semantics; costs the full 70-frame rewrite like the reference).
 
     Returns (enc_out [B, chunk_len, D], k', v', conv', cache_valid').
     """
     lc = cfg.att_left_context
     chunk_len = cfg.chunk_len(hp)
     kv_len = lc + chunk_len
+    win_lo = phase * chunk_len           # static window start
+    win_hi = win_lo + lc
 
     x = conv_subsampling(params.subsampling, mel_chunk)
     x = x[:, cfg.drop_extra_pre_encoded :, :]
@@ -183,7 +196,9 @@ def stream_encode_step(
     attn_mask = jnp.where(pos_idx < offset[:, None], -1e9, 0.0).astype(x.dtype)
 
     def body(carry, per_layer):
-        lp, kc, vc, cc = per_layer
+        lp, kc_buf, vc_buf, cc = per_layer
+        kc = jax.lax.slice_in_dim(kc_buf, win_lo, win_hi, axis=1)
+        vc = jax.lax.slice_in_dim(vc_buf, win_lo, win_hi, axis=1)
         y, k_new, v_new, cc2 = conformer_layer(
             carry, pe, lp, hp,
             k_cache=kc, v_cache=vc, conv_cache=cc,
@@ -195,13 +210,39 @@ def stream_encode_step(
         body, x, (params.layers, k_cache, v_cache, conv_cache),
         unroll=LAYER_SCAN_UNROLL,
     )
-    # One buffer shift for ALL layers (the per-layer concat+reslice+restack
-    # chain cost ~11 ms of the 25 ms step at B=256).
-    k_out = jnp.concatenate([k_cache[:, :, chunk_len:, :], k_new_all], axis=2)
-    v_out = jnp.concatenate([v_cache[:, :, chunk_len:, :], v_new_all], axis=2)
+
+    if advance_phase:
+        # append-only: the big buffers update in place (donated); only the
+        # [L, B, chunk_len, D] new frames are written
+        k_out = jax.lax.dynamic_update_slice(
+            k_cache, k_new_all, (0, 0, win_hi, 0))
+        v_out = jax.lax.dynamic_update_slice(
+            v_cache, v_new_all, (0, 0, win_hi, 0))
+    else:
+        # phase-stationary shift (reference semantics for gated ticks)
+        kc_win = jax.lax.slice_in_dim(k_cache, win_lo, win_hi, axis=2)
+        vc_win = jax.lax.slice_in_dim(v_cache, win_lo, win_hi, axis=2)
+        k_shift = jnp.concatenate([kc_win[:, :, chunk_len:, :], k_new_all],
+                                  axis=2)
+        v_shift = jnp.concatenate([vc_win[:, :, chunk_len:, :], v_new_all],
+                                  axis=2)
+        k_out = jax.lax.dynamic_update_slice(k_cache, k_shift, (0, 0, win_lo, 0))
+        v_out = jax.lax.dynamic_update_slice(v_cache, v_shift, (0, 0, win_lo, 0))
 
     if params.prompt is not None and prompt_onehot is not None:
         x = prompt_fusion(params.prompt, x, prompt_onehot)
 
     cache_valid = jnp.minimum(cache_valid + chunk_len, lc)
     return x, k_out, v_out, conv_out, cache_valid
+
+
+def compact_cache(cfg: CacheConfig, hp: Hparams, k_cache, v_cache):
+    """Move the history window from the end of the slack buffer back to phase
+    0 (run once every n_phases chunks; amortizes the 70-frame rewrite)."""
+    lc = cfg.att_left_context
+    s = cfg.cache_buf_len(hp)
+    tail_k = jax.lax.slice_in_dim(k_cache, s - lc, s, axis=2)
+    tail_v = jax.lax.slice_in_dim(v_cache, s - lc, s, axis=2)
+    k2 = jax.lax.dynamic_update_slice(k_cache, tail_k, (0, 0, 0, 0))
+    v2 = jax.lax.dynamic_update_slice(v_cache, tail_v, (0, 0, 0, 0))
+    return k2, v2

@@ -64,6 +64,7 @@ class EngineGroup:
         self.n_active_streams = 0
         # host mirror of decode.frame_offset (avoids a device sync per tick)
         self.frame_offsets = np.zeros(batch, dtype=np.int64)
+        self.phase = 0  # slack-buffer phase; advances on all-active ticks
         # pipelined token readback: results of the previous step, processed
         # while the next step runs on device (hides the transfer round-trip)
         self._pending = None  # (tokens_dev, active, n_valid, finalizing, frame_base)
@@ -241,7 +242,8 @@ class EngineGroup:
                 n_act * cfg.shift_mel_frames * cfg.hop_length / cfg.sample_rate
             )
             frame_base = self.frame_offsets.copy()
-            active_arg = None if bool(active.all()) else jnp.asarray(active)
+            all_active = bool(active.all())
+            active_arg = None if all_active else jnp.asarray(active)
             self.state, tokens = self.model.stream_step(
                 self.cfg,
                 self.state,
@@ -249,7 +251,15 @@ class EngineGroup:
                 jnp.asarray(n_valid),
                 active_arg,
                 jnp.asarray(prompt_idx),
+                phase=self.phase,
             )
+            if all_active:
+                # fast path appended at the phase offset; gated ticks are
+                # phase-stationary so paused slots stay aligned
+                self.phase += 1
+                if self.phase >= self.cfg.n_phases:
+                    self.state = self.model.compact_state(self.cfg, self.state)
+                    self.phase = 0
             self.frame_offsets[active] += n_valid[active]
             prev = self._pending
             self._pending = (tokens, active, n_valid, finalizing, frame_base)

@@ -40,6 +40,7 @@ class StreamSession:
             self.set_language(lang)
 
         self.state = model.init_stream_state(1, cfg)
+        self.phase = 0  # slack-buffer phase (see models/encoder.py)
         # mel buffer primed with the 9-frame overlap of zeros
         self.mel_buffer = np.zeros(
             (cfg.pre_encode_cache_size, self.hp.n_mels), dtype=np.float32
@@ -63,6 +64,7 @@ class StreamSession:
     def reset(self) -> None:
         self.preprocessor.reset()
         self.state = self.model.init_stream_state(1, self.cfg)
+        self.phase = 0
         self.mel_buffer = np.zeros(
             (self.cfg.pre_encode_cache_size, self.hp.n_mels), dtype=np.float32
         )
@@ -80,14 +82,20 @@ class StreamSession:
 
         t0 = time.perf_counter()
         frame_base = int(self.state.decode.frame_offset[0])
+        # single stream is always active -> phased fast path + compaction
         self.state, tokens = self.model.stream_step(
             self.cfg,
             self.state,
             jnp.asarray(mel_chunk[None]),
             jnp.asarray([n_valid], dtype=jnp.int32),
-            jnp.ones((1,), dtype=bool),
+            None,
             jnp.asarray([max(self.prompt_index, 0)], dtype=jnp.int32),
+            phase=self.phase,
         )
+        self.phase += 1
+        if self.phase >= self.cfg.n_phases:
+            self.state = self.model.compact_state(self.cfg, self.state)
+            self.phase = 0
         self.total_chunks += 1
         import jax
 
@@ -179,6 +187,7 @@ class StreamSession:
             prompt_index=np.int64(self.prompt_index),
             total_audio_seconds=np.float64(self.total_audio_seconds),
             total_chunks=np.int64(self.total_chunks),
+            phase=np.int64(self.phase),
         )
 
     def restore_state(self, path: str) -> None:
@@ -199,6 +208,7 @@ class StreamSession:
         self.prompt_index = int(z["prompt_index"])
         self.total_audio_seconds = float(z["total_audio_seconds"])
         self.total_chunks = int(z["total_chunks"])
+        self.phase = int(z["phase"]) if "phase" in z else 0
         self._finalized = False
 
     def timed_words(self) -> list[tuple[str, float]]:

@@ -31,9 +31,10 @@ def init_stream_state(
     batch: int, hp: Hparams, cfg: CacheConfig, dtype=jnp.float32
 ) -> StreamState:
     L, D = hp.n_layers, hp.d_model
+    s = cfg.cache_buf_len(hp)  # left context + phase slack
     return StreamState(
-        k_cache=jnp.zeros((L, batch, cfg.att_left_context, D), dtype=dtype),
-        v_cache=jnp.zeros((L, batch, cfg.att_left_context, D), dtype=dtype),
+        k_cache=jnp.zeros((L, batch, s, D), dtype=dtype),
+        v_cache=jnp.zeros((L, batch, s, D), dtype=dtype),
         conv_cache=jnp.zeros((L, batch, cfg.conv_kernel_size - 1, D), dtype=dtype),
         cache_valid=jnp.zeros((batch,), dtype=jnp.int32),
         decode=init_decode_state(batch, hp, dtype=dtype),

@@ -75,7 +75,7 @@ def main() -> int:
                                str(out / "subsampled_chunks.bin"))
         enc, k, v, c, valid = stream_encode_step(
             model.params, model.hp, cfg, jnp.asarray(chunk[None]),
-            k, v, c, valid)
+            k, v, c, valid, phase=0, advance_phase=False)
         dump.append_dump_array(np.asarray(enc[0][: cfg.valid_out_len]),
                                str(out / "encoder_out_chunks.bin"))
         mel_buffer = mel_buffer[cfg.shift_mel_frames :]

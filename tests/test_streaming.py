@@ -47,8 +47,11 @@ def test_latency_mode_math():
 
 def test_stream_encoder_parity_multichunk():
     """Cached streaming encoder == golden NumPy streaming encoder over several
-    chunks, including the cache warmup masking phase."""
-    n_chunks = 4
+    chunks, including the cache warmup masking phase AND a slack-buffer
+    compaction boundary (n_chunks > n_phases)."""
+    from nemotron_tpu.models.encoder import compact_cache
+
+    n_chunks = CFG.n_phases + 3
     chunk_mel = CFG.chunk_mel_frames
     ref = R.StreamingEncoderRef(NP_MODEL, HP, CFG)
 
@@ -57,16 +60,41 @@ def test_stream_encoder_parity_multichunk():
     k, v, c, valid = state.k_cache, state.v_cache, state.conv_cache, state.cache_valid
 
     rng = np.random.default_rng(42)
+    phase = 0
     for step in range(n_chunks):
         mel_np = rng.standard_normal((chunk_mel, HP.n_mels)).astype(np.float32)
         mel = jnp.asarray(np.stack([mel_np, mel_np * 0.5]))  # two distinct streams
         enc, k, v, c, valid = stream_encode_step(
-            PARAMS, HP, CFG, mel, k, v, c, valid
+            PARAMS, HP, CFG, mel, k, v, c, valid, phase=phase
         )
+        phase += 1
+        if phase >= CFG.n_phases:
+            k, v = compact_cache(CFG, HP, k, v)
+            phase = 0
         want = ref.step(mel_np)
         got = np.asarray(enc[0])[: CFG.valid_out_len]
         assert mx(got, want) < 2e-4, f"chunk {step}: {mx(got, want)}"
     assert int(valid[0]) == min(n_chunks * CFG.chunk_len(HP), CFG.att_left_context)
+
+
+def test_stream_encoder_gated_stationary_parity():
+    """The gated (phase-stationary) path must also match the golden encoder,
+    at a nonzero phase."""
+    n_chunks = 3
+    chunk_mel = CFG.chunk_mel_frames
+    ref = R.StreamingEncoderRef(NP_MODEL, HP, CFG)
+    B = 1
+    state = init_stream_state(B, HP, CFG)
+    k, v, c, valid = state.k_cache, state.v_cache, state.conv_cache, state.cache_valid
+    rng = np.random.default_rng(7)
+    for step in range(n_chunks):
+        mel_np = rng.standard_normal((chunk_mel, HP.n_mels)).astype(np.float32)
+        enc, k, v, c, valid = stream_encode_step(
+            PARAMS, HP, CFG, jnp.asarray(mel_np[None]), k, v, c, valid,
+            phase=2, advance_phase=False,
+        )
+        want = ref.step(mel_np)
+        assert mx(np.asarray(enc[0])[: CFG.valid_out_len], want) < 2e-4, step
 
 
 def test_stream_step_full_decode_parity():
@@ -196,20 +224,28 @@ def test_final_chunk_valid_out_override():
 
 
 def test_all_active_fast_path_matches_gated():
-    """stream_step(active=None) must equal the gated step with all-True."""
+    """stream_step(active=None, phased) must equal the gated phase-stationary
+    step with all-True — same tokens and the same logical cache window (the
+    physical layouts differ: fast appends at the phase offset, gated shifts
+    in place)."""
     B = 2
+    chunk = CFG.chunk_len(HP)
+    lc = CFG.att_left_context
     mel = jnp.asarray(np.random.default_rng(8).standard_normal(
         (B, CFG.chunk_mel_frames, HP.n_mels)).astype(np.float32))
     n_valid = jnp.full((B,), CFG.valid_out_len, jnp.int32)
 
     s1 = init_stream_state(B, HP, CFG)
     s1, t1 = stream_step(PARAMS, s1, mel, n_valid, jnp.ones((B,), bool),
-                         hp=HP, cfg=CFG)
+                         hp=HP, cfg=CFG, phase=0)
     s2 = init_stream_state(B, HP, CFG)
-    s2, t2 = stream_step(PARAMS, s2, mel, n_valid, None, hp=HP, cfg=CFG)
+    s2, t2 = stream_step(PARAMS, s2, mel, n_valid, None, hp=HP, cfg=CFG,
+                         phase=0)
 
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
-    np.testing.assert_allclose(np.asarray(s1.k_cache), np.asarray(s2.k_cache),
-                               atol=1e-6)
+    # gated window stays at [0, lc); fast window is now at [chunk, lc+chunk)
+    w1 = np.asarray(s1.k_cache)[:, :, 0:lc]
+    w2 = np.asarray(s2.k_cache)[:, :, chunk : lc + chunk]
+    np.testing.assert_allclose(w1, w2, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(s1.cache_valid),
                                   np.asarray(s2.cache_valid))
