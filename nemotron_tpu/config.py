@@ -99,7 +99,7 @@ class CacheConfig:
     # n_phases*chunk_len frames; all-active steps append at a static phase
     # offset (tiny write) and the full 70-frame shift ("compaction") happens
     # once per n_phases chunks instead of every chunk.
-    n_phases: int = 8
+    n_phases: int = 4
 
     @property
     def conv_cache_size(self) -> int:
