@@ -243,6 +243,11 @@ class EngineGroup:
             )
             frame_base = self.frame_offsets.copy()
             all_active = bool(active.all())
+            if not all_active and self.phase != 0:
+                # gated ticks run at phase 0 only: compact first so paused
+                # slots stay aligned and only one gated variant compiles
+                self.state = self.model.compact_state(self.cfg, self.state)
+                self.phase = 0
             active_arg = None if all_active else jnp.asarray(active)
             self.state, tokens = self.model.stream_step(
                 self.cfg,
