@@ -11,6 +11,7 @@ TPU-native rebuild of the reference engine's configuration layer:
 from __future__ import annotations
 
 import dataclasses
+import os
 from enum import IntEnum
 
 
@@ -99,7 +100,7 @@ class CacheConfig:
     # n_phases*chunk_len frames; all-active steps append at a static phase
     # offset (tiny write) and the full 70-frame shift ("compaction") happens
     # once per n_phases chunks instead of every chunk.
-    n_phases: int = 4
+    n_phases: int = int(os.environ.get("NEMOTRON_TPU_N_PHASES", "8"))
 
     @property
     def conv_cache_size(self) -> int:
