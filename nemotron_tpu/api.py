@@ -105,15 +105,15 @@ class ASRModel:
 
         return fn
 
-    @functools.lru_cache(maxsize=16)
-    def _compact_fn(self, cfg: CacheConfig):
+    @functools.lru_cache(maxsize=64)
+    def _compact_fn(self, cfg: CacheConfig, phase: int):
         from .models.encoder import compact_cache
 
         hp = self.hp
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def fn(k, v):
-            return compact_cache(cfg, hp, k, v)
+            return compact_cache(cfg, hp, k, v, phase=phase)
 
         return fn
 
@@ -131,9 +131,15 @@ class ASRModel:
         fn = self._stream_step_fn(cfg, b, all_active, phase)
         return fn(self.params, state, mel_chunk, n_valid, active, prompt_idx)
 
-    def compact_state(self, cfg, state):
-        """Run the slack-buffer compaction (once per n_phases fast chunks)."""
-        k, v = self._compact_fn(cfg)(state.k_cache, state.v_cache)
+    def compact_state(self, cfg, state, phase: int | None = None):
+        """Move the live K/V window back to phase 0. `phase` is the caller's
+        CURRENT phase (live window at phase*chunk_len); defaults to the wrap
+        (phase == n_phases). Mid-cycle callers must pass their phase."""
+        if phase is None:
+            phase = cfg.n_phases
+        if phase == 0:
+            return state
+        k, v = self._compact_fn(cfg, phase)(state.k_cache, state.v_cache)
         import dataclasses
 
         return dataclasses.replace(state, k_cache=k, v_cache=v)

@@ -236,13 +236,25 @@ def stream_encode_step(
     return x, k_out, v_out, conv_out, cache_valid
 
 
-def compact_cache(cfg: CacheConfig, hp: Hparams, k_cache, v_cache):
-    """Move the history window from the end of the slack buffer back to phase
-    0 (run once every n_phases chunks; amortizes the 70-frame rewrite)."""
+def compact_cache(cfg: CacheConfig, hp: Hparams, k_cache, v_cache,
+                  phase: int | None = None):
+    """Move the live history window back to phase 0 (run once every n_phases
+    chunks; amortizes the 70-frame rewrite).
+
+    `phase` is the STATIC phase the caller is currently at: the live window
+    sits at [phase*chunk_len, phase*chunk_len + left_context). The default
+    (phase=n_phases, the wrap) is the window at the very end of the slack
+    buffer. Compaction at any mid-cycle phase (fast->gated transition in the
+    engine) MUST pass its phase — copying the buffer tail there would install
+    stale history."""
     lc = cfg.att_left_context
-    s = cfg.cache_buf_len(hp)
-    tail_k = jax.lax.slice_in_dim(k_cache, s - lc, s, axis=2)
-    tail_v = jax.lax.slice_in_dim(v_cache, s - lc, s, axis=2)
-    k2 = jax.lax.dynamic_update_slice(k_cache, tail_k, (0, 0, 0, 0))
-    v2 = jax.lax.dynamic_update_slice(v_cache, tail_v, (0, 0, 0, 0))
+    if phase is None:
+        phase = cfg.n_phases
+    lo = phase * cfg.chunk_len(hp)
+    if lo == 0:
+        return k_cache, v_cache  # window already at phase 0
+    win_k = jax.lax.slice_in_dim(k_cache, lo, lo + lc, axis=2)
+    win_v = jax.lax.slice_in_dim(v_cache, lo, lo + lc, axis=2)
+    k2 = jax.lax.dynamic_update_slice(k_cache, win_k, (0, 0, 0, 0))
+    v2 = jax.lax.dynamic_update_slice(v_cache, win_v, (0, 0, 0, 0))
     return k2, v2

@@ -57,12 +57,18 @@ class StreamServer:
         except (asyncio.IncompleteReadError, ConnectionError):
             pass
         finally:
-            # disconnect reclaims this connection's sessions
+            # disconnect reclaims this connection's sessions (and their
+            # reserved admission budget)
+            freed = 0
             for sid in list(self.conn_streams.get(writer, ())):
                 self.engine.drop_stream(sid)
                 self.writers.pop(sid, None)
-                self._queued_samples.pop(sid, None)
+                freed += 2 * self._queued_samples.pop(sid, 0)
             self.conn_streams.pop(writer, None)
+            if freed:
+                async with self.mem_free:
+                    self.mem_used = max(0, self.mem_used - freed)
+                    self.mem_free.notify_all()
             writer.close()
 
     async def _dispatch(self, writer, opcode: int, stream_id: int,
@@ -97,13 +103,16 @@ class StreamServer:
                 while self.mem_used + 2 * n > self.mem_budget:
                     await self.mem_free.wait()
                 self.mem_used += 2 * n
+            # bill BEFORE handing to the engine: a tick running concurrently
+            # in the executor may consume the samples immediately, and its
+            # drain_consumed release is capped at the billed count
+            self._queued_samples[stream_id] = (
+                self._queued_samples.get(stream_id, 0) + n
+            )
             for off in range(0, n, P.MAX_SEGMENT_SAMPLES):
                 self.engine.push_audio(
                     stream_id, audio[off : off + P.MAX_SEGMENT_SAMPLES]
                 )
-            self._queued_samples[stream_id] = (
-                self._queued_samples.get(stream_id, 0) + n
-            )
             self.wake.set()
             await self._send(
                 writer,
@@ -144,7 +153,15 @@ class StreamServer:
             while more:
                 # batched compute off the event loop thread
                 events, more = await loop.run_in_executor(None, self.engine.tick)
+                # release budget as the engine consumes queued PCM (reference
+                # semantics: nemo-server.cpp:116-126 releases per DATA event,
+                # not on stream end — long-lived streams must not accumulate)
                 freed = 0
+                for sid, n in self.engine.drain_consumed().items():
+                    have = self._queued_samples.get(sid, 0)
+                    take = min(have, n)
+                    self._queued_samples[sid] = have - take
+                    freed += 2 * take
                 for ev in events:
                     w = self.writers.get(ev.stream_id)
                     if ev.kind == "text":
@@ -158,10 +175,10 @@ class StreamServer:
                             self.conn_streams.get(w, set()).discard(ev.stream_id)
                         self.writers.pop(ev.stream_id, None)
                         freed += 2 * self._queued_samples.pop(ev.stream_id, 0)
-                # release budget for consumed audio (approximate: on ended)
-                async with self.mem_free:
-                    self.mem_used = max(0, self.mem_used - freed)
-                    self.mem_free.notify_all()
+                if freed:
+                    async with self.mem_free:
+                        self.mem_used = max(0, self.mem_used - freed)
+                        self.mem_free.notify_all()
                 import time as _t
 
                 if _t.monotonic() - last_stats > 30.0:

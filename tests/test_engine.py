@@ -124,6 +124,109 @@ def test_engine_drop_stream_frees_slot():
     assert sid2 != sid
 
 
+def test_engine_all_active_then_starve():
+    """A full group runs all-active (fast phased path) for several ticks, then
+    one stream starves mid-phase-cycle -> the engine must compact the live
+    window (phase-aware), not the buffer tail. Regression: the old compaction
+    copied [s-lc, s) regardless of phase, installing stale K/V for every
+    stream in the group (encoder error jumped ~1e-6 -> ~1.8)."""
+    model, hp = build_model(seed=4)
+    a0 = make_audio(19200, seed=30)  # 1.2 s
+    a1 = make_audio(8000, seed=31)   # 0.5 s: exhausts first -> starves
+
+    def solo(audio):
+        s = StreamSession(model, 0)
+        s.process_incremental(audio)
+        s.finalize()
+        return s.get_transcript()
+
+    engine = BatchedEngine(model, batch_per_group=2)  # full group
+    sid0 = engine.start_stream(0)
+    sid1 = engine.start_stream(0)
+    texts = {sid0: "", sid1: ""}
+    # equal pacing while both have audio (all-active ticks advance the phase),
+    # then a0 continues alone (gated ticks)
+    for off in range(0, 19200, 1600):
+        engine.push_audio(sid0, a0[off : off + 1600])
+        if off < 8000:
+            engine.push_audio(sid1, a1[off : off + 1600])
+        ev, _ = engine.tick()
+        for e in ev:
+            texts[e.stream_id] += e.text
+    engine.end_stream(sid0)
+    engine.end_stream(sid1)
+    for _ in range(60):
+        ev, more = engine.tick()
+        for e in ev:
+            texts[e.stream_id] += e.text
+        if not more:
+            break
+    assert texts[sid0] == solo(a0)
+    assert texts[sid1] == solo(a1)
+
+
+def test_engine_finalize_with_valid_tail_rc1():
+    """Finalize with a tail chunk that yields nv>0 (possible at rc>=1) must
+    emit exactly one 'ended' and not crash. Regression: the slot re-entered
+    the ending branch the tick after the finalize chunk was dispatched and
+    was double-released (AttributeError on slots[i].stream_id)."""
+    model, hp = build_model(seed=5)
+    audio = make_audio(7000, seed=40)  # leaves >=8 real mel frames at the end
+
+    s = StreamSession(model, 1)
+    s.process_incremental(audio)
+    s.finalize()
+    want = s.get_transcript()
+
+    engine = BatchedEngine(model, batch_per_group=2)
+    sid = engine.start_stream(right_context=1)
+    engine.push_audio(sid, audio)
+    engine.end_stream(sid)
+    text = ""
+    ended = 0
+    for _ in range(60):
+        ev, more = engine.tick()
+        for e in ev:
+            text += e.text
+            if e.kind == "ended":
+                ended += 1
+        if not more:
+            break
+    assert ended == 1
+    assert text == want
+
+
+def test_engine_slot_reuse_discards_inflight_tokens():
+    """Tokens dispatched for stream A must not be attributed to stream B if B
+    reclaims A's slot between dispatch and readback (pending entries record
+    the stream id at dispatch time)."""
+    model, hp = build_model(seed=6)
+    engine = BatchedEngine(model, batch_per_group=1)
+    sid_a = engine.start_stream(0)
+    engine.push_audio(sid_a, make_audio(6400, seed=50))
+    engine.tick()  # dispatch mel
+    engine.tick()  # dispatch step; tokens now in flight
+    engine.drop_stream(sid_a)
+    sid_b = engine.start_stream(0)
+    ev, _ = engine.tick()  # reads back A's tokens -> must be discarded
+    assert all(e.stream_id != sid_b for e in ev)
+    assert engine.transcript(sid_b) == ""
+    # B still works end-to-end afterwards
+    audio_b = make_audio(6400, seed=51)
+    s = StreamSession(model, 0)
+    s.process_incremental(audio_b)
+    s.finalize()
+    engine.push_audio(sid_b, audio_b)
+    engine.end_stream(sid_b)
+    text = ""
+    for _ in range(60):
+        ev, more = engine.tick()
+        text += "".join(e.text for e in ev if e.stream_id == sid_b)
+        if not more:
+            break
+    assert text == s.get_transcript()
+
+
 def test_engine_mixed_latency_groups():
     """Streams with different right_context live in separate groups and both
     produce correct transcripts."""

@@ -114,6 +114,56 @@ def test_server_two_streams_one_connection(model):
     assert t1 == solo(a1)
 
 
+def test_server_budget_released_as_audio_consumed(model):
+    """Long-lived streams must not exhaust the admission budget: the budget is
+    released as the engine consumes queued PCM (reference semantics,
+    nemo-server.cpp:116-126), not only on stream end. Regression: with
+    release-on-end only, cumulative pushes > budget stalled every PUSH
+    handler forever."""
+    budget = 64 * 1024  # 64 KB => 32768 samples; we push 4x that, never ending
+
+    async def run():
+        srv = StreamServer(model, batch_per_group=4, mem_budget=budget)
+        srv._engine_task = asyncio.create_task(srv.engine_loop())
+        server = await asyncio.start_server(srv.handle_conn, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            c = await StreamClient.connect("127.0.0.1", port)
+            sids = [await c.start_stream(0) for _ in range(4)]
+
+            acked = 0
+
+            async def pump():
+                nonlocal acked
+                while True:
+                    opcode, sid, payload = await c.recv()
+                    if opcode == P.OP_ACK:
+                        acked += 1
+
+            reader = asyncio.create_task(pump())
+            # 4 streams x 8 pushes x 8000 samples = 512 KB total, 8x budget.
+            # Admission happens server-side, so every ACK past the first
+            # round proves budget was released by consumption. The generous
+            # wait covers per-phase jit compiles on CPU; a release-on-end-only
+            # server stalls at 4 ACKs forever no matter how long we wait.
+            for _ in range(8):
+                for sid in sids:
+                    await c.push(sid, make_audio(8000, seed=5))
+                await asyncio.sleep(0.05)  # let the engine consume
+            for _ in range(1800):
+                if acked >= 32:
+                    break
+                await asyncio.sleep(0.05)
+            reader.cancel()
+            c.close()
+            assert acked >= 32, f"only {acked}/32 pushes acked (budget stall)"
+            assert srv.mem_used <= budget
+        finally:
+            server.close()
+
+    asyncio.run(asyncio.wait_for(run(), timeout=120))
+
+
 def test_server_ack_and_error_frames(model):
     async def run():
         srv, server, port = await start_test_server(model)
