@@ -34,11 +34,11 @@ except Exception:
 BASELINE_STREAMS = 1.0 / 0.064
 
 
-def run(batch_sizes=(256, 320, 384), dtype=jnp.bfloat16, steps=20):
+def run(batch_sizes=(256, 320, 384), dtype=jnp.bfloat16, steps=20,
+        int8: bool = False):
     from nemotron_tpu.config import CacheConfig, Hparams, LatencyMode
-    from nemotron_tpu.models.asr import stream_step
-    from nemotron_tpu.ops import mel as melops
-    from nemotron_tpu.params import random_params
+    from nemotron_tpu.models.asr import fused_serve_tick
+    from nemotron_tpu.params import quantize_encoder_layers, random_params
     from nemotron_tpu.streaming.state import init_stream_state
 
     hp = Hparams()
@@ -53,87 +53,88 @@ def run(batch_sizes=(256, 320, 384), dtype=jnp.bfloat16, steps=20):
     # while_loop's early exit then measures realistically.
     import dataclasses as _dc
 
-    out_b = params.joint.out_b.at[hp.blank_id].add(6.0)
+    # +2.4 gives ~2.4 tokens per 80 ms frame on bf16 random weights under the
+    # real phased state evolution — denser than real speech (~0.3-1), so the
+    # decode + text cost is over- not under-stated. The cliff to zero
+    # emissions sits at ~2.6; +6.0 (the old value) silenced decode entirely.
+    out_b = params.joint.out_b.at[hp.blank_id].add(2.4)
     params = _dc.replace(params, joint=_dc.replace(params.joint, out_b=out_b))
-    window512 = melops.padded_window(np.hanning(400).astype(np.float32))
-    fb = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (hp.n_mels, 257)), dtype=jnp.float32
-    )
+    if int8:  # weight-only Q8_0 serving variant (--int8)
+        params = quantize_encoder_layers(params)
 
     shift_samples = cfg.shift_samples  # 1280 new samples per 80 ms chunk
-    tail_len = 416  # steady-state preprocessor tail (see audio/frontend.py)
-    n_new_frames = cfg.shift_mel_frames
-
-    def serve_chunk(params, state, audio, tail, last, mel_tail, *, phase):
-        """Full per-chunk work: mel frontend + encoder + decode, at a static
-        slack-buffer phase (all streams active -> fast path).
-
-        mel_tail: [B, pre_encode_cache_size, n_mels] carried mel overlap."""
-        mel_new, tail, last = melops.mel_step(
-            audio, tail, last, window512, fb, n_frames=n_new_frames
-        )
-        mel_chunk = jnp.concatenate([mel_tail, mel_new.astype(dtype)], axis=1)
-        new_mel_tail = mel_chunk[:, cfg.shift_mel_frames :, :]
-        b = audio.shape[0]
-        n_valid = jnp.full((b,), cfg.valid_out_len, jnp.int32)
-        state, tokens = stream_step(
-            params, state, mel_chunk, n_valid, None, hp=hp, cfg=cfg,
-            phase=phase,
-        )
-        return state, tokens, tail, last, new_mel_tail
 
     best = None
     for B in batch_sizes:
         try:
             state = init_stream_state(B, hp, cfg, dtype=dtype)
-            audio = jnp.asarray(
-                np.random.default_rng(1).uniform(-0.3, 0.3, (B, shift_samples)),
-                dtype=jnp.float32,
-            )
-            tail = jnp.zeros((B, tail_len), jnp.float32)
-            last = jnp.zeros((B,), jnp.float32)
-            mel_tail = jnp.zeros(
-                (B, cfg.pre_encode_cache_size, hp.n_mels), dtype=dtype
-            )
+            # the exact program the serving engine dispatches per tick:
+            # raw PCM block in -> tokens out (mel frontend on device)
+            n_valid = jnp.full((B,), cfg.valid_out_len, jnp.int32)
+
+            steps_fns = [
+                jax.jit(
+                    functools.partial(
+                        lambda params, state, audio, n_valid, *, phase:
+                        fused_serve_tick(params, state, audio, n_valid, None,
+                                         hp=hp, cfg=cfg, phase=phase),
+                        phase=p,
+                    ),
+                    donate_argnums=(1,),
+                )
+                for p in range(cfg.n_phases)
+            ]
             from nemotron_tpu.models.encoder import compact_cache
             import dataclasses as _dcs
 
-            steps_fns = [
-                jax.jit(functools.partial(serve_chunk, phase=p),
-                        donate_argnums=(1,))
-                for p in range(cfg.n_phases)
-            ]
             compact = jax.jit(
                 lambda k, v: compact_cache(cfg, hp, k, v),
                 donate_argnums=(0, 1))
-            phase = 0
 
-            def one(state, tokens_args, phase):
-                audio, tail, last, mel_tail = tokens_args
-                state, tokens, tail, last, mel_tail = steps_fns[phase](
-                    params, state, audio, tail, last, mel_tail)
+            # axon memoizes executions with identical inputs, and the donated
+            # in-place state buffer does not break the memo key — every step
+            # must see a NEVER-REPEATED audio block or the timing is fiction
+            rng = np.random.default_rng(1)
+            n_blocks = steps + cfg.n_phases + 6
+            blocks = [
+                jnp.asarray((rng.uniform(-0.3, 0.3, (B, shift_samples))
+                             * 32767).astype(np.int16))
+                for _ in range(n_blocks)
+            ]
+            phase = 0
+            n_step = [0]
+
+            def one(state, phase):
+                audio = blocks[n_step[0]]
+                n_step[0] += 1
+                state, tokens = steps_fns[phase](params, state, audio, n_valid)
                 phase += 1
                 if phase >= cfg.n_phases:
                     k, v = compact(state.k_cache, state.v_cache)
                     state = _dcs.replace(state, k_cache=k, v_cache=v)
                     phase = 0
-                return state, tokens, (audio, tail, last, mel_tail), phase
+                return state, tokens, phase
 
-            args = (audio, tail, last, mel_tail)
+            # axon's block_until_ready does NOT wait for remote execution —
+            # only a data fetch syncs. Fetch tokens after every warmup step
+            # (forces each phase variant to compile AND run), then time N
+            # chained steps closed by ONE final fetch: the state chain makes
+            # the last tokens depend on every step, so the fetch waits for
+            # all of them; its own ~25 ms tunnel round-trip amortizes over N.
             t0 = time.time()
-            state, tokens, args, phase = one(state, args, phase)
-            jax.block_until_ready(tokens)
+            state, tokens, phase = one(state, phase)
+            np.asarray(tokens)
             compile_s = time.time() - t0
 
             # warm every phase variant + compaction before timing
             for _ in range(cfg.n_phases + 3):
-                state, tokens, args, phase = one(state, args, phase)
-            jax.block_until_ready(tokens)
+                state, tokens, phase = one(state, phase)
+                np.asarray(tokens)
 
             t0 = time.time()
             for _ in range(steps):
-                state, tokens, args, phase = one(state, args, phase)
-            jax.block_until_ready(tokens)
+                state, tokens, phase = one(state, phase)
+            np.asarray(tokens)
             step_time = (time.time() - t0) / steps
 
             streams = B * 0.080 / step_time
@@ -152,7 +153,14 @@ def run(batch_sizes=(256, 320, 384), dtype=jnp.bfloat16, steps=20):
 
 
 def main():
-    best = run()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only Q8_0 encoder (variant line, stderr "
+                         "PERF.md numbers; the driver metric stays bf16)")
+    args = ap.parse_args()
+    best = run(int8=args.int8)
     if best is None:
         print(json.dumps({"metric": "concurrent_realtime_streams_80ms",
                           "value": 0, "unit": "streams/chip", "vs_baseline": 0.0}))

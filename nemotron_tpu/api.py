@@ -131,6 +131,112 @@ class ASRModel:
         fn = self._stream_step_fn(cfg, b, all_active, phase)
         return fn(self.params, state, mel_chunk, n_valid, active, prompt_idx)
 
+    @functools.lru_cache(maxsize=64)
+    def _fused_tick_fn(self, cfg: CacheConfig, batch: int, all_active: bool,
+                       phase: int):
+        from .models.asr import fused_serve_tick
+
+        hp = self.hp
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fn(params, state, audio_block, n_valid, active, prompt_idx):
+            return fused_serve_tick(
+                params, state, audio_block, n_valid,
+                None if all_active else active,
+                prompt_idx if hp.num_prompts > 0 else None, hp=hp, cfg=cfg,
+                phase=phase,
+            )
+
+        return fn
+
+    def fused_tick(self, cfg, state, audio_block, n_valid, active,
+                   prompt_idx=None, phase: int = 0):
+        """One fused serving tick: raw PCM blocks in -> tokens out (see
+        models.asr.fused_serve_tick). active=None is the all-active fast path
+        (same phase contract as stream_step)."""
+        b = audio_block.shape[0]
+        if prompt_idx is None:
+            prompt_idx = jnp.full((b,), max(self.default_prompt_index, 0),
+                                  dtype=jnp.int32)
+        all_active = active is None
+        if all_active:
+            active = jnp.ones((b,), dtype=bool)  # placeholder arg
+        fn = self._fused_tick_fn(cfg, b, all_active, phase)
+        return fn(self.params, state, audio_block, n_valid, active, prompt_idx)
+
+    @functools.lru_cache(maxsize=64)
+    def _fused_encode_fn(self, cfg: CacheConfig, batch: int, all_active: bool,
+                         phase: int):
+        from .models.asr import fused_encode_tick
+
+        hp = self.hp
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fn(params, state, audio_block, active, prompt_idx):
+            return fused_encode_tick(
+                params, state, audio_block,
+                None if all_active else active,
+                prompt_idx if hp.num_prompts > 0 else None, hp=hp, cfg=cfg,
+                phase=phase,
+            )
+
+        return fn
+
+    @functools.lru_cache(maxsize=8)
+    def _decode_fn(self, all_active: bool):
+        from .models.asr import decode_tick
+
+        hp = self.hp
+
+        @jax.jit
+        def fn(params, state, enc, n_valid, active):
+            return decode_tick(params, state, enc, n_valid,
+                               None if all_active else active, hp=hp)
+
+        return fn
+
+    def fused_tick_profiled(self, cfg, state, audio_block, n_valid, active,
+                            prompt_idx=None, phase: int = 0):
+        """Fused tick split into two device programs with blocking timers —
+        the reference's encoder/decoder phase attribution
+        (nemo-stream.h:237-244). Slower than fused_tick (two dispatches +
+        syncs); enable via NEMOTRON_TPU_PHASE_TIMERS=1 when profiling.
+        Returns (state, tokens, encoder_seconds, decoder_seconds)."""
+        import time
+
+        b = audio_block.shape[0]
+        if prompt_idx is None:
+            prompt_idx = jnp.full((b,), max(self.default_prompt_index, 0),
+                                  dtype=jnp.int32)
+        all_active = active is None
+        if all_active:
+            active = jnp.ones((b,), dtype=bool)  # placeholder arg
+        t0 = time.perf_counter()
+        state, enc = self._fused_encode_fn(cfg, b, all_active, phase)(
+            self.params, state, audio_block, active, prompt_idx)
+        jax.block_until_ready(enc)
+        t1 = time.perf_counter()
+        state, tokens = self._decode_fn(all_active)(
+            self.params, state, enc, n_valid, active)
+        jax.block_until_ready(tokens)
+        t2 = time.perf_counter()
+        return state, tokens, t1 - t0, t2 - t1
+
+    @functools.lru_cache(maxsize=4)
+    def _prime_fn(self):
+        from .streaming.state import prime_frontend
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fn(state, mask, tails, lasts):
+            return prime_frontend(state, mask, tails, lasts)
+
+        return fn
+
+    def prime_frontend(self, state, mask, tails, lasts):
+        """Install frontend carries for newly joined slots (fused path)."""
+        return self._prime_fn()(state, jnp.asarray(mask), jnp.asarray(tails),
+                                jnp.asarray(lasts))
+
     def compact_state(self, cfg, state, phase: int | None = None):
         """Move the live K/V window back to phase 0. `phase` is the caller's
         CURRENT phase (live window at phase*chunk_len); defaults to the wrap

@@ -103,7 +103,8 @@ def main(argv=None) -> int:
           file=sys.stderr)
 
     cfg = CacheConfig.for_mode(opts["right_context"], model.hp)
-    sess = StreamSession(model, cfg, lang=opts["lang"])
+    sess = StreamSession(model, cfg, lang=opts["lang"],
+                         timestamp_words=opts["timestamps"])
 
     diar = None
     if opts["diarize"]:

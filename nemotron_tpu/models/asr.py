@@ -12,6 +12,7 @@ in nemo-stream.cpp:1217-1259, or idle).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any
 
@@ -75,7 +76,9 @@ def stream_step(
             params, hp, enc, state.decode, n_valid=n_valid.astype(jnp.int32)
         )
         return StreamState(k_cache=k2, v_cache=v2, conv_cache=c2,
-                           cache_valid=valid2, decode=dec_state), tokens
+                           cache_valid=valid2, decode=dec_state,
+                           pp_tail=state.pp_tail, pp_last=state.pp_last,
+                           mel_ov=state.mel_ov), tokens
 
     active = active.astype(bool)
     n_valid = jnp.where(active, n_valid, 0).astype(jnp.int32)
@@ -107,8 +110,121 @@ def stream_step(
         conv_cache=_gate_batch1(active, c2, state.conv_cache),
         cache_valid=jnp.where(active, valid2, state.cache_valid),
         decode=dec_state,  # already gated per-frame via n_valid
+        pp_tail=state.pp_tail, pp_last=state.pp_last, mel_ov=state.mel_ov,
     )
     return new_state, tokens
+
+
+def fused_encode_tick(
+    params,
+    state: StreamState,
+    audio_block,
+    active,
+    prompt_idx=None,
+    *,
+    hp: Hparams,
+    cfg: CacheConfig,
+    phase: int = 0,
+):
+    """Frontend + encoder half of the fused serving tick: raw PCM blocks in ->
+    encoder frames out, all frontend/cache state advanced (decode state
+    untouched). Split out so the profiling mode (NEMOTRON_TPU_PHASE_TIMERS)
+    can time encoder vs decoder like the reference (nemo-stream.h:237-244).
+
+    audio_block: [B, shift_samples] int16 (or f32 in [-1, 1]) — exactly one
+    chunk's worth of new samples per stream. The mel frontend (pre-emphasis
+    carry + framing + DFT + filterbank, src/preprocessor.cpp:330-395) runs on
+    device against the carried pp_tail/pp_last/mel_ov state, so the host never
+    touches mel.
+    """
+    from ..ops import mel as melops
+
+    x = audio_block.astype(jnp.float32)
+    if jnp.issubdtype(audio_block.dtype, jnp.integer):
+        x = x / 32768.0
+    window512 = melops.padded_window(params.preproc.window)
+    fb = params.preproc.filterbank.astype(jnp.float32)
+    mel_new, tail2, last2 = melops.mel_step(
+        x, state.pp_tail, state.pp_last, window512, fb,
+        n_frames=cfg.shift_mel_frames,
+    )
+    mel_chunk = jnp.concatenate([state.mel_ov, mel_new], axis=1)
+    new_ov = mel_chunk[:, cfg.shift_mel_frames :, :]
+    mel_cast = mel_chunk.astype(params.pos_emb.dtype)
+
+    prompt_onehot = None
+    if params.prompt is not None and prompt_idx is not None:
+        prompt_onehot = jax.nn.one_hot(
+            prompt_idx, hp.num_prompts, dtype=mel_cast.dtype
+        )
+
+    enc, k2, v2, c2, valid2 = stream_encode_step(
+        params, hp, cfg, mel_cast,
+        state.k_cache, state.v_cache, state.conv_cache, state.cache_valid,
+        prompt_onehot=prompt_onehot,
+        phase=phase, advance_phase=active is None,
+    )
+
+    if active is None:
+        new_state = dataclasses.replace(
+            state, k_cache=k2, v_cache=v2, conv_cache=c2, cache_valid=valid2,
+            pp_tail=tail2, pp_last=last2, mel_ov=new_ov,
+        )
+    else:
+        act = active.astype(bool)
+        new_state = dataclasses.replace(
+            state,
+            k_cache=_gate_batch1(act, k2, state.k_cache),
+            v_cache=_gate_batch1(act, v2, state.v_cache),
+            conv_cache=_gate_batch1(act, c2, state.conv_cache),
+            cache_valid=jnp.where(act, valid2, state.cache_valid),
+            pp_tail=_gate_batch0(act, tail2, state.pp_tail),
+            pp_last=jnp.where(act, last2, state.pp_last),
+            mel_ov=_gate_batch0(act, new_ov, state.mel_ov),
+        )
+    return new_state, enc
+
+
+def decode_tick(params, state: StreamState, enc, n_valid, active=None, *,
+                hp: Hparams):
+    """Greedy-RNNT half of the fused tick (inactive slots via n_valid=0)."""
+    if active is not None:
+        n_valid = jnp.where(active.astype(bool), n_valid, 0)
+    dec_state, tokens = greedy_decode(
+        params, hp, enc, state.decode, n_valid=n_valid.astype(jnp.int32)
+    )
+    return dataclasses.replace(state, decode=dec_state), tokens
+
+
+def fused_serve_tick(
+    params,
+    state: StreamState,
+    audio_block,
+    n_valid,
+    active,
+    prompt_idx=None,
+    *,
+    hp: Hparams,
+    cfg: CacheConfig,
+    phase: int = 0,
+):
+    """Whole serving hot path in ONE device program: raw PCM in -> tokens out.
+    This removes the mel upload+readback round-trips that capped the tunneled
+    end-to-end server (PERF.md) — the only per-tick transfers are the audio
+    upload and the (pipelined) token readback.
+
+    Finalize semantics: the host pads the final partial block with zeros and
+    passes the reduced n_valid. The junk mel frames computed from the zero
+    padding sit at positions > the last real frame; the causal subsampling
+    stack means valid output j depends only on mel <= 8(j+2), which for
+    n_valid = L//8 is exactly the last real frame — identical tokens to the
+    reference's zero-padded-mel flush (nemo-stream.cpp:1217-1259).
+    """
+    new_state, enc = fused_encode_tick(
+        params, state, audio_block, active, prompt_idx, hp=hp, cfg=cfg,
+        phase=phase,
+    )
+    return decode_tick(params, new_state, enc, n_valid, active, hp=hp)
 
 
 def transcribe_batch(params, mel, *, hp: Hparams, prompt_idx=None, n_frames=None,

@@ -438,3 +438,34 @@ def random_params(hp: Hparams, seed: int = 0, dtype=jnp.float32) -> ModelParams:
 def layer_slice(layers: ConformerLayerParams, i: int) -> ConformerLayerParams:
     """Extract a single (unstacked) layer — handy for tests."""
     return jax.tree.map(lambda x: x[i], layers)
+
+
+# The reference's default quantization set: encoder-layer 2D matrices only;
+# depthwise conv, norms, biases and pos biases stay dense
+# (convert_to_gguf.py:237-263).
+QUANT_LAYER_FIELDS = (
+    "ffn1_w1", "ffn1_w2", "ffn2_w1", "ffn2_w2",
+    "attn_q_w", "attn_k_w", "attn_v_w", "attn_pos_w", "attn_out_w",
+    "conv_pw1_w", "conv_pw2_w",
+)
+
+
+def quantize_encoder_layers(params: ModelParams) -> ModelParams:
+    """Weight-only int8: convert the stacked encoder-layer matrices to Q8_0
+    QuantizedTensors in place (int8 + per-32-block scales; dequantized inside
+    the matmul, optionally via the Pallas kernel). Halves/quarters encoder
+    weight memory and HBM read bandwidth for serving."""
+    from .ops.quant import QuantizedTensor, quantize_q8
+
+    lay = params.layers
+    upd = {}
+    for name in QUANT_LAYER_FIELDS:
+        v = np.asarray(getattr(lay, name), np.float32)  # [L, out, in]
+        if v.ndim != 3 or v.shape[-1] % 32:
+            continue
+        qts = [quantize_q8(v[i]) for i in range(v.shape[0])]
+        upd[name] = QuantizedTensor(
+            w_i8=jnp.stack([q.w_i8 for q in qts]),
+            scales=jnp.stack([q.scales for q in qts]),
+        )
+    return dataclasses.replace(params, layers=dataclasses.replace(lay, **upd))

@@ -2,10 +2,12 @@
 
 The reference serializes every session through a single compute worker
 (nemo-server.cpp:192-271, one chunk at a time). Here all sessions sharing a
-latency mode live in one device-resident state batch; each tick gathers one
-chunk of mel per ready slot, steps them together (inactive slots are gated and
-keep their state bit-for-bit), and scatters the emitted tokens back to the
-sessions. Stream join/leave is a per-slot state reset — no allocation.
+latency mode live in one device-resident state batch; each tick uploads one
+raw-PCM block per ready slot and dispatches ONE fused device program (mel
+frontend + cache-aware encoder chunk + on-device greedy RNNT) — mel never
+returns to the host, so the only per-tick transfers are the audio upload and a
+pipelined token readback. Stream join/leave is a per-slot state reset — no
+allocation.
 
 Threading contract: `tick()` may run on a worker thread while the server's
 event loop calls claim/release/push_audio/end_stream. All device-state
@@ -13,23 +15,39 @@ mutations are owned by tick — claim only *queues* a slot reset (applied at the
 top of the next tick), push_audio appends to a queue that tick drains with an
 atomic list swap, and release is a host-only slot clear under `_lock`.
 
-Host-side per-stream work (preprocessor bookkeeping, token -> text) stays in
-numpy; all model compute is the one batched stream_step.
+Host-side per-stream work (sample bookkeeping, token -> text) stays in numpy.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import itertools
+import os
 import threading
 import time
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio.frontend import StreamPreprocessor
+# Two-program tick with blocking encoder/decoder timers (reference phase
+# attribution, nemo-stream.h:237-244). Costs an extra dispatch + two syncs per
+# tick — profiling only.
+PHASE_TIMERS = os.environ.get("NEMOTRON_TPU_PHASE_TIMERS", "") == "1"
+
+# Token readbacks lag dispatch by up to this many ticks: each fetch through a
+# tunneled TPU costs a ~25 ms round-trip, so the engine keeps a queue of
+# in-flight token buffers and only blocks on one when it is this old (text
+# latency grows by depth*tick_interval; throughput stops being RTT-bound).
+READBACK_DEPTH = max(1, int(os.environ.get("NEMOTRON_TPU_READBACK_DEPTH", "2")))
+
 from ..config import CacheConfig
-from ..streaming.state import reset_slots
+from ..streaming.state import PP_TAIL_LEN, reset_slots
+
+# Samples folded into the frontend carry at stream start: the carry becomes
+# [256 center-pad zeros || preemph(first 96 samples)], after which every
+# shift_samples block yields exactly shift_mel_frames frames (fixed shapes).
+PRIME_SAMPLES = PP_TAIL_LEN - 256  # 96
+PREEMPH = 0.97
 
 
 @dataclasses.dataclass
@@ -39,24 +57,49 @@ class Event:
     text: str
 
 
+def _to_f32(audio: np.ndarray) -> np.ndarray:
+    if np.issubdtype(audio.dtype, np.integer):
+        return audio.astype(np.float32) / 32768.0
+    return audio.astype(np.float32)
+
+
 class _Slot:
     __slots__ = (
-        "stream_id", "preproc", "mel_buf", "tokens", "token_frames",
-        "transcript", "prompt_index", "ending", "finalize_sent", "audio_queue",
+        "stream_id", "tokens", "token_frames", "transcript", "prompt_index",
+        "ending", "finalize_sent", "audio_queue", "stage", "staged",
+        "primed", "total_pushed", "steps",
     )
 
-    def __init__(self, stream_id: int, preproc: StreamPreprocessor,
-                 n_mels: int, overlap: int, prompt_index: int):
+    def __init__(self, stream_id: int, prompt_index: int):
         self.stream_id = stream_id
-        self.preproc = preproc
-        self.mel_buf = np.zeros((overlap, n_mels), dtype=np.float32)
         self.tokens: list[int] = []
         self.token_frames: list[int] = []
         self.transcript = ""
         self.prompt_index = prompt_index
         self.ending = False
         self.finalize_sent = False
-        self.audio_queue: list[np.ndarray] = []
+        self.audio_queue: list[np.ndarray] = []  # filled cross-thread
+        self.stage: list[np.ndarray] = []        # tick-owned sample buffer
+        self.staged = 0
+        self.primed = False
+        self.total_pushed = 0   # samples ever staged (frontend frame math)
+        self.steps = 0          # steady chunks dispatched
+
+    def take(self, n: int) -> np.ndarray:
+        """Pop up to n samples from the stage (i16), zero-padded to n."""
+        out = np.zeros(n, dtype=np.int16)
+        got = 0
+        while self.stage and got < n:
+            a = self.stage[0]
+            k = min(len(a), n - got)
+            out[got : got + k] = a[:k]
+            got += k
+            if k == len(a):
+                self.stage.pop(0)
+            else:
+                self.stage[0] = a[k:]
+        self.staged -= got
+        return out
 
 
 class EngineGroup:
@@ -73,16 +116,16 @@ class EngineGroup:
         # host mirror of decode.frame_offset (avoids a device sync per tick)
         self.frame_offsets = np.zeros(batch, dtype=np.int64)
         self.phase = 0  # slack-buffer phase; advances on all-active ticks
-        # pipelined token readback: results of the previous step, processed
-        # while the next step runs on device (hides the transfer round-trip)
-        # (tokens_dev, active, n_valid, finalizing, frame_base, stream_ids)
-        self._pending = None
-        # pipelined mel batch: dispatched this tick, appended next tick
-        self._pending_mel = None  # (handle, [slot indices])
+        # pipelined token readbacks: FIFO of dispatched steps' results,
+        # processed once ready (or once READBACK_DEPTH ticks old), while newer
+        # steps run on device — hides the per-fetch tunnel round-trip.
+        # entries: (tokens_dev, active, n_valid, finalizing, frame_base,
+        #           stream_ids)
+        self._pending_q: list = []
         # cross-thread mutation queue (see module docstring)
         self._lock = threading.Lock()
         self._pending_resets: list[int] = []
-        # samples moved from the push queue into the frontend, per stream —
+        # samples moved from the push queue into the stage, per stream —
         # the admission-budget release signal (reference releases as the
         # worker consumes PCM, nemo-server.cpp:116-126)
         self.consumed_samples: dict[int, int] = {}
@@ -91,6 +134,8 @@ class EngineGroup:
         self.total_steps = 0
         self.total_step_seconds = 0.0
         self.total_transfer_seconds = 0.0  # blocked on device readbacks
+        self.total_encoder_seconds = 0.0   # PHASE_TIMERS mode only
+        self.total_decoder_seconds = 0.0   # PHASE_TIMERS mode only
         self.total_audio_seconds = 0.0
         self.total_chunks = 0
 
@@ -104,14 +149,7 @@ class EngineGroup:
         with self._lock:
             for i, s in enumerate(self.slots):
                 if s is None:
-                    pp = StreamPreprocessor(
-                        self.model.params.preproc.filterbank,
-                        self.model.params.preproc.window,
-                    )
-                    self.slots[i] = _Slot(
-                        stream_id, pp, self.hp.n_mels,
-                        self.cfg.pre_encode_cache_size, prompt_index,
-                    )
+                    self.slots[i] = _Slot(stream_id, prompt_index)
                     self._pending_resets.append(i)
                     self.n_active_streams += 1
                     return i
@@ -152,32 +190,54 @@ class EngineGroup:
         self.state = reset_slots(self.state, jnp.asarray(mask), self.hp)
         self.frame_offsets[resets] = 0
 
-    def _dispatch_mel(self) -> None:
-        """Dispatch the batched frontend for queued audio (async)."""
-        from ..audio.frontend import process_many_start
-
-        pending = []
-        for i, s in enumerate(self.slots):
+    def _drain_queues(self) -> None:
+        """Move pushed audio into the tick-owned stages (consumption point
+        for the admission budget)."""
+        consumed: dict[int, int] = {}
+        for s in self.slots:
             if s is None or not s.audio_queue:
                 continue
             # atomic swap: concurrent push_audio appends land either in the
-            # captured list (concatenated below) or the fresh one (next tick)
+            # captured list (staged below) or the fresh one (next tick)
             q, s.audio_queue = s.audio_queue, []
-            if q:
-                pending.append((i, s, np.concatenate(q)))
-        if not pending:
-            return
-        with self._lock:
-            for _, s, audio in pending:
-                self.consumed_samples[s.stream_id] = (
-                    self.consumed_samples.get(s.stream_id, 0) + len(audio)
-                )
-        handle = process_many_start(
-            [s.preproc for _, s, _ in pending],
-            [audio for _, _, audio in pending],
-        )
-        if handle is not None:
-            self._pending_mel = (handle, [i for i, _, _ in pending])
+            for a in q:
+                a = np.asarray(a)
+                if not np.issubdtype(a.dtype, np.integer):
+                    a = np.clip(a * 32768.0, -32768, 32767)
+                s.stage.append(a.astype(np.int16))
+                s.staged += len(a)
+                s.total_pushed += len(a)
+                consumed[s.stream_id] = consumed.get(s.stream_id, 0) + len(a)
+        if consumed:
+            with self._lock:
+                for sid, n in consumed.items():
+                    self.consumed_samples[sid] = (
+                        self.consumed_samples.get(sid, 0) + n
+                    )
+
+    def _prime_new_slots(self) -> None:
+        """Fold each new stream's first 96 samples into its device-side
+        frontend carry (one batched prime op, dispatched only on join ticks)."""
+        mask = np.zeros(self.batch, dtype=bool)
+        tails = None
+        lasts = None
+        for i, s in enumerate(self.slots):
+            if s is None or s.primed or s.staged < PRIME_SAMPLES:
+                continue
+            raw = _to_f32(s.take(PRIME_SAMPLES))
+            emph = np.empty(PRIME_SAMPLES, np.float32)
+            emph[0] = raw[0]
+            emph[1:] = raw[1:] - PREEMPH * raw[:-1]
+            if tails is None:
+                tails = np.zeros((self.batch, PP_TAIL_LEN), np.float32)
+                lasts = np.zeros(self.batch, np.float32)
+            tails[i, PP_TAIL_LEN - PRIME_SAMPLES :] = emph
+            lasts[i] = raw[-1]
+            mask[i] = True
+            s.primed = True
+        if tails is not None:
+            self.state = self.model.prime_frontend(self.state, mask, tails,
+                                                   lasts)
 
     def drain_consumed(self) -> dict[int, int]:
         """Pop the per-stream consumed-sample counters (budget release)."""
@@ -186,24 +246,34 @@ class EngineGroup:
             self.consumed_samples = {}
         return out
 
-    def _collect_mel(self, pending) -> None:
-        """Block on a previously dispatched mel batch and append per slot."""
-        from ..audio.frontend import process_many_finish
+    def _frames_total(self, slot: _Slot) -> int:
+        """Mel frames the stream's samples yield (preprocessor.cpp:330-395:
+        center pad 256, frame 512, hop 160)."""
+        avail = 256 + slot.total_pushed
+        if avail < 512:
+            return 0
+        return (avail - 512 + 160) // 160
 
-        if pending is None:
-            return
-        handle, idxs = pending
-        t0 = time.perf_counter()
-        mels = process_many_finish(handle)
-        self.total_transfer_seconds += time.perf_counter() - t0
-        for i, mel in zip(idxs, mels):
-            s = self.slots[i]
-            if s is not None and mel.shape[0]:
-                s.mel_buf = np.concatenate([s.mel_buf, mel], axis=0)
+    def _drain_pending(self, force_all: bool) -> list[Event]:
+        """Process queued readbacks FIFO: entries whose data has landed, plus
+        any older than READBACK_DEPTH (blocking fetch). force_all drains
+        everything (idle ticks — nothing better to do than wait)."""
+        events: list[Event] = []
+        while self._pending_q:
+            tokens_dev = self._pending_q[0][0]
+            over_depth = len(self._pending_q) > READBACK_DEPTH
+            if not (force_all or over_depth):
+                try:
+                    if not tokens_dev.is_ready():
+                        break
+                except AttributeError:
+                    pass  # no is_ready on this backend: treat as ready
+            events.extend(self._process_pending(self._pending_q.pop(0)))
+        return events
 
     def _process_pending(self, pending) -> list[Event]:
-        """Read back and scatter one step's tokens (the device has usually
-        moved on to the next step by now, hiding the transfer latency)."""
+        """Read back and scatter one step's tokens (the readback was started
+        async at dispatch time, so this rarely blocks)."""
         if pending is None:
             return []
         tokens_dev, active, n_valid, finalizing, frame_base, stream_ids = pending
@@ -235,48 +305,41 @@ class EngineGroup:
 
     def tick(self) -> tuple[list[Event], bool]:
         """One batched round: process the previous step's results, dispatch
-        the next step. Returns (events, more_work_pending)."""
+        the next fused step. Returns (events, more_work_pending)."""
         cfg, hp = self.cfg, self.hp
-        chunk_mel = cfg.chunk_mel_frames
+        shift = cfg.shift_samples
         b = self.batch
         self.total_ticks += 1
         events: list[Event] = []
 
         self._apply_pending_resets()
+        self._drain_queues()
+        self._prime_new_slots()
 
-        mel = np.zeros((b, chunk_mel, hp.n_mels), dtype=np.float32)
+        block = np.zeros((b, shift), dtype=np.int16)
         n_valid = np.zeros(b, dtype=np.int32)
         active = np.zeros(b, dtype=bool)
         prompt_idx = np.zeros(b, dtype=np.int32)
         finalizing: set[int] = set()
         ended_now: list[tuple[int, int]] = []  # (slot idx, stream_id)
 
-        # Pipeline the frontend: dispatch this tick's mel batch (async), then
-        # block on the PREVIOUS tick's batch while the new one runs. Chunk
-        # detection lags one tick; both transfer round-trips hide behind
-        # device work.
-        prev_mel = self._pending_mel
-        self._pending_mel = None
-        self._dispatch_mel()
-        self._collect_mel(prev_mel)
         for i, slot in enumerate(self.slots):
             if slot is None or slot.finalize_sent:
                 continue
             prompt_idx[i] = max(slot.prompt_index, 0)
-            mel_inflight = (self._pending_mel is not None
-                            and i in self._pending_mel[1])
-            if slot.mel_buf.shape[0] >= chunk_mel:
-                mel[i] = slot.mel_buf[:chunk_mel]
-                slot.mel_buf = slot.mel_buf[cfg.shift_mel_frames :]
+            if slot.primed and slot.staged >= shift:
+                block[i] = slot.take(shift)
                 n_valid[i] = cfg.valid_out_len
                 active[i] = True
-            elif slot.ending and not mel_inflight and not slot.audio_queue:
-                total = slot.mel_buf.shape[0]
-                real_new = total - cfg.pre_encode_cache_size
-                nv = real_new // cfg.subsampling_factor if real_new > 0 else 0
+                slot.steps += 1
+            elif slot.ending and not slot.audio_queue:
+                # (audio still in the cross-thread queue drains next tick)
+                # leftover frames beyond the steady chunks already dispatched
+                left = (self._frames_total(slot)
+                        - cfg.shift_mel_frames * slot.steps)
+                nv = left // cfg.subsampling_factor if left > 0 else 0
                 if nv > 0:
-                    mel[i, :total] = slot.mel_buf
-                    slot.mel_buf = slot.mel_buf[:0]
+                    block[i] = slot.take(shift)  # zero-padded partial block
                     n_valid[i] = nv
                     active[i] = True
                     finalizing.add(i)
@@ -292,9 +355,7 @@ class EngineGroup:
             self.total_steps += 1
             n_act = int(active.sum())
             self.total_chunks += n_act
-            self.total_audio_seconds += (
-                n_act * cfg.shift_mel_frames * cfg.hop_length / cfg.sample_rate
-            )
+            self.total_audio_seconds += n_act * shift / cfg.sample_rate
             frame_base = self.frame_offsets.copy()
             all_active = bool(active.all())
             if not all_active and self.phase != 0:
@@ -315,17 +376,28 @@ class EngineGroup:
                 s = self.slots[i]
                 if s is not None:
                     stream_ids[i] = s.stream_id
-            prev = self._pending
-            self._pending = None
-            self.state, tokens = self.model.stream_step(
-                self.cfg,
-                self.state,
-                jnp.asarray(mel),
-                jnp.asarray(n_valid),
-                active_arg,
-                jnp.asarray(prompt_idx),
-                phase=self.phase,
-            )
+            if PHASE_TIMERS:
+                self.state, tokens, t_enc, t_dec = self.model.fused_tick_profiled(
+                    self.cfg, self.state, jnp.asarray(block),
+                    jnp.asarray(n_valid), active_arg,
+                    jnp.asarray(prompt_idx), phase=self.phase,
+                )
+                self.total_encoder_seconds += t_enc
+                self.total_decoder_seconds += t_dec
+            else:
+                self.state, tokens = self.model.fused_tick(
+                    self.cfg,
+                    self.state,
+                    jnp.asarray(block),
+                    jnp.asarray(n_valid),
+                    active_arg,
+                    jnp.asarray(prompt_idx),
+                    phase=self.phase,
+                )
+            try:  # start the device->host copy now; collected next tick
+                tokens.copy_to_host_async()
+            except AttributeError:
+                pass
             if all_active:
                 # fast path appended at the phase offset; gated ticks are
                 # phase-stationary so paused slots stay aligned
@@ -334,14 +406,14 @@ class EngineGroup:
                     self.state = self.model.compact_state(self.cfg, self.state)
                     self.phase = 0
             self.frame_offsets[active] += n_valid[active]
-            # read back the PREVIOUS step's tokens while this one runs
-            events.extend(self._process_pending(prev))
-            self._pending = (tokens, active, n_valid, finalizing, frame_base,
-                             stream_ids)
+            self._pending_q.append(
+                (tokens, active, n_valid, finalizing, frame_base, stream_ids)
+            )
+            # read back older steps' tokens while this one runs
+            events.extend(self._drain_pending(force_all=False))
             self.total_step_seconds += time.perf_counter() - t0
         else:
-            events.extend(self._process_pending(self._pending))
-            self._pending = None
+            events.extend(self._drain_pending(force_all=True))
 
         for i, sid in ended_now:
             events.append(Event(sid, "ended", ""))
@@ -350,11 +422,10 @@ class EngineGroup:
                 self.release(i)
 
         more = (
-            self._pending is not None
-            or self._pending_mel is not None
+            bool(self._pending_q)
             or any(
                 s is not None and not s.finalize_sent
-                and (s.mel_buf.shape[0] >= chunk_mel or s.audio_queue
+                and ((s.primed and s.staged >= shift) or s.audio_queue
                      or s.ending)
                 for s in self.slots
             )
@@ -446,6 +517,11 @@ class BatchedEngine:
                 "transfer_seconds": round(g.total_transfer_seconds, 3),
                 "rtf": round(rtf, 5),
             }
+            if PHASE_TIMERS:
+                out["groups"][rc]["encoder_seconds"] = round(
+                    g.total_encoder_seconds, 3)
+                out["groups"][rc]["decoder_seconds"] = round(
+                    g.total_decoder_seconds, 3)
         return out
 
     def tick(self) -> tuple[list[Event], bool]:

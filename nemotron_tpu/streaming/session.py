@@ -22,10 +22,13 @@ from ..models.asr import tokens_to_list
 
 class StreamSession:
     def __init__(self, model, cfg: CacheConfig | LatencyMode | int | None = None,
-                 lang: str | None = None):
+                 lang: str | None = None, timestamp_words: bool = False):
         from ..api import ASRModel  # noqa: F401 (typing only)
 
         self.model = model
+        # emit {%.2f} inline word timestamps in the incremental text
+        # (reference: tokens_to_text, nemo-ggml.cpp:1556-1583)
+        self.timestamp_words = timestamp_words
         if cfg is None:
             cfg = model.cache_config(LatencyMode.PURE_CAUSAL)
         elif not isinstance(cfg, CacheConfig):
@@ -108,7 +111,9 @@ class StreamSession:
         frames = [frame_base + fr for _, fr in new]
         self.tokens.extend(ids)
         self.token_frames.extend(frames)
-        text = self.model.tokenizer.decode(ids)
+        text = self.model.tokenizer.decode(
+            ids, timestamp_words=self.timestamp_words, frames=frames
+        )
         self.transcript += text
         return text
 

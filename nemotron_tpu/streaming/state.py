@@ -18,6 +18,12 @@ from ..models.decoder import DecodeState, init_decode_state
 from ..params import _ptree
 
 
+# Steady-state preprocessor tail: with the carry primed as [256 center-pad
+# zeros || first 96 pre-emphasized samples], every shift_samples block yields
+# exactly shift_mel_frames mel frames (fixed shapes for the fused tick).
+PP_TAIL_LEN = 512 - 160  # n_fft - hop
+
+
 @_ptree
 class StreamState:
     k_cache: Any      # [L, B, left_context, D]
@@ -25,6 +31,11 @@ class StreamState:
     conv_cache: Any   # [L, B, kernel-1, D]
     cache_valid: Any  # [B] int32
     decode: DecodeState
+    # device-resident frontend state for the fused serving tick (raw audio in
+    # -> tokens out; mel never returns to host). Unused by the host-mel paths.
+    pp_tail: Any      # [B, PP_TAIL_LEN] f32 pre-emphasized sample carry
+    pp_last: Any      # [B] f32 raw last sample (pre-emphasis continuity)
+    mel_ov: Any       # [B, pre_encode_cache_size, n_mels] f32 mel overlap
 
 
 def init_stream_state(
@@ -38,6 +49,11 @@ def init_stream_state(
         conv_cache=jnp.zeros((L, batch, cfg.conv_kernel_size - 1, D), dtype=dtype),
         cache_valid=jnp.zeros((batch,), dtype=jnp.int32),
         decode=init_decode_state(batch, hp, dtype=dtype),
+        pp_tail=jnp.zeros((batch, PP_TAIL_LEN), dtype=jnp.float32),
+        pp_last=jnp.zeros((batch,), dtype=jnp.float32),
+        mel_ov=jnp.zeros(
+            (batch, cfg.pre_encode_cache_size, cfg.n_mels), dtype=jnp.float32
+        ),
     )
 
 
@@ -71,4 +87,21 @@ def reset_slots(state: StreamState, mask, hp: Hparams) -> StreamState:
             ),
             frame_offset=jnp.where(m, 0, state.decode.frame_offset).astype(jnp.int32),
         ),
+        pp_tail=z0(state.pp_tail),
+        pp_last=jnp.where(m, 0.0, state.pp_last),
+        mel_ov=z0(state.mel_ov),
+    )
+
+
+def prime_frontend(state: StreamState, mask, tails, lasts) -> StreamState:
+    """Install per-slot frontend carries (slot join: tail = 256 center-pad
+    zeros + the stream's first 96 pre-emphasized samples, so every subsequent
+    shift_samples block yields exactly shift_mel_frames frames)."""
+    import dataclasses
+
+    m = jnp.asarray(mask)
+    return dataclasses.replace(
+        state,
+        pp_tail=jnp.where(m[:, None], tails, state.pp_tail),
+        pp_last=jnp.where(m, lasts, state.pp_last),
     )

@@ -34,8 +34,9 @@ async def run(n_streams: int, secs: float, batch: int, chunk_ms: int) -> int:
 
     print(f"loading full-size random model (bf16)...", file=sys.stderr)
     model = ASRModel.random(dtype=jnp.bfloat16)
-    # realistic blank-dominated emissions (see bench.py)
-    out_b = model.params.joint.out_b.at[model.hp.blank_id].add(6.0)
+    # ~2.4 tokens/frame emissions — denser than real speech, so decode and
+    # text-delivery costs are over- not under-stated (see bench.py)
+    out_b = model.params.joint.out_b.at[model.hp.blank_id].add(2.4)
     model.params = dc.replace(
         model.params, joint=dc.replace(model.params.joint, out_b=out_b))
 
@@ -55,13 +56,22 @@ async def run(n_streams: int, secs: float, batch: int, chunk_ms: int) -> int:
             + 0.1 * rng.standard_normal(n_samp)
         return (np.clip(sig, -1, 1) * 32767).astype(np.int16)
 
-    # warm up the compile before timing
-    warm = asyncio.create_task(transcribe_file(
-        make_audio(0)[: 16000], host="127.0.0.1", port=port,
-        chunk_ms=chunk_ms))
-    await asyncio.wait_for(warm, timeout=1800)
+    # warm up ALL jit variants before timing: a full-batch pass compiles the
+    # all-active fast path at every slack-buffer phase plus the gated variant,
+    # prime and compaction (each remote compile costs seconds through the
+    # tunnel; timing them would measure the compiler, not the server)
+    warm = [
+        asyncio.create_task(transcribe_file(
+            make_audio(i)[: 4 * 16000], host="127.0.0.1", port=port,
+            chunk_ms=chunk_ms))
+        for i in range(n_streams)
+    ]
+    await asyncio.wait_for(asyncio.gather(*warm), timeout=1800)
     print("warmup done; timing...", file=sys.stderr)
 
+    import copy
+
+    stats0 = copy.deepcopy(srv.engine.stats())
     t0 = time.time()
     tasks = [
         asyncio.create_task(transcribe_file(
@@ -70,6 +80,17 @@ async def run(n_streams: int, secs: float, batch: int, chunk_ms: int) -> int:
     ]
     results = await asyncio.gather(*tasks)
     wall = time.time() - t0
+    stats1 = srv.engine.stats()
+    for rc, g1 in stats1["groups"].items():
+        g0 = stats0["groups"].get(rc, {})
+        delta = {k: round(g1[k] - g0.get(k, 0), 3)
+                 for k in ("ticks", "steps", "chunks", "step_seconds",
+                           "transfer_seconds")}
+        n = max(1, delta["steps"])
+        print(f"[timed pass rc={rc}] {delta}  per-step: "
+              f"step={1e3 * delta['step_seconds'] / n:.1f}ms "
+              f"transfer={1e3 * delta['transfer_seconds'] / n:.1f}ms "
+              f"wall={1e3 * wall / n:.1f}ms", file=sys.stderr)
 
     total_audio = n_streams * secs
     print(

@@ -261,3 +261,35 @@ def test_engine_mixed_latency_groups():
             break
     assert texts[sid0] == solo(a0, 0)
     assert texts[sid1] == solo(a1, 1)
+
+
+def test_engine_phase_timers(monkeypatch):
+    """NEMOTRON_TPU_PHASE_TIMERS=1: the tick runs as two timed device programs
+    and stats report the encoder/decoder split (nemo-stream.h:237-244 parity)
+    with identical tokens."""
+    import nemotron_tpu.streaming.engine as eng
+
+    model, hp = build_model(seed=7)
+    audio = make_audio(6400, seed=70)
+
+    s = StreamSession(model, 0)
+    s.process_incremental(audio)
+    s.finalize()
+
+    monkeypatch.setattr(eng, "PHASE_TIMERS", True)
+    engine = BatchedEngine(model, batch_per_group=2)
+    sid = engine.start_stream(0)
+    engine.push_audio(sid, audio)
+    engine.end_stream(sid)
+    text = ""
+    for _ in range(60):
+        ev, more = engine.tick()
+        text += "".join(e.text for e in ev)
+        if not more:
+            break
+    assert text == s.get_transcript()
+    g = engine.groups[0]
+    assert g.total_encoder_seconds > 0
+    assert g.total_decoder_seconds > 0
+    stats = engine.stats()
+    assert "encoder_seconds" in stats["groups"][0]

@@ -112,3 +112,42 @@ def test_model_keep_quantized(tmp_path):
     out1 = np.asarray(encode_batch(p_deq, hp1, mel))
     out2 = np.asarray(encode_batch(p_q, hp2, mel))
     np.testing.assert_allclose(out1, out2, atol=1e-4)
+
+
+def test_quantize_encoder_layers_stream_parity():
+    """Weight-only int8 across the whole encoder: the fused tick runs and
+    stays close to the dense model (Q8_0 error ~0.4%/matmul)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    from helpers import tiny_cfg, tiny_model
+
+    from nemotron_tpu.models.asr import fused_serve_tick
+    from nemotron_tpu.params import QUANT_LAYER_FIELDS, quantize_encoder_layers
+    from nemotron_tpu.streaming.state import init_stream_state
+
+    hp, params = tiny_model(seed=2)
+    cfg = tiny_cfg(hp)
+    qparams = quantize_encoder_layers(params)
+    for f in QUANT_LAYER_FIELDS:
+        v = getattr(qparams.layers, f)
+        if np.asarray(getattr(params.layers, f)).shape[-1] % 32 == 0:
+            assert hasattr(v, "w_i8"), f
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        (rng.uniform(-0.3, 0.3, (2, cfg.shift_samples)) * 32767).astype(np.int16))
+    n_valid = jnp.full((2,), cfg.valid_out_len, jnp.int32)
+
+    def run(p):
+        state = init_stream_state(2, hp, cfg)
+        for _ in range(3):
+            state, tokens = fused_serve_tick(
+                p, state, audio, n_valid, None, hp=hp, cfg=cfg, phase=0)
+        return np.asarray(state.decode.h), np.asarray(tokens)
+
+    h_dense, _ = run(params)
+    h_q8, tok_q8 = run(qparams)
+    assert np.isfinite(h_q8).all()
+    rel = np.abs(h_q8 - h_dense).max() / (np.abs(h_dense).max() + 1e-9)
+    assert rel < 0.2, rel

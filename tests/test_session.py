@@ -221,3 +221,33 @@ def test_multilingual_language_switch_mid_stream():
     assert not s_sw.set_language("xx-XX")
     mono = ASRModel(tiny_hparams(), random_params(tiny_hparams(), seed=1), vocab)
     assert mono.resolve_language("en-US") is None
+
+
+def test_session_timestamp_words():
+    """--timestamps parity: {%.2f} after each word start, 80 ms frame units
+    (reference: tokens_to_text, nemo-ggml.cpp:1556-1583)."""
+    import re
+
+    model, np_model, hp, cfg = build_model(seed=4)
+    audio = make_audio(12800, seed=44)
+
+    plain = StreamSession(model, cfg)
+    plain.process_incremental(audio)
+    plain.finalize()
+
+    timed = StreamSession(model, cfg, timestamp_words=True)
+    timed.process_incremental(audio)
+    timed.finalize()
+
+    stamped = timed.get_transcript()
+    if not plain.get_transcript():
+        assert stamped == ""
+        return
+    # stripping the {t} stamps recovers the plain transcript
+    assert re.sub(r"\{\d+\.\d\d\}", "", stamped) == plain.get_transcript()
+    # stamps are frame_idx * 0.08 s for each word-start token
+    want = [fr * 1280 / 16000
+            for tid, fr in zip(timed.tokens, timed.token_frames)
+            if model.tokenizer.piece(tid).startswith("▁")]
+    got = [float(m) for m in re.findall(r"\{(\d+\.\d\d)\}", stamped)]
+    assert got == [float(f"{w:.2f}") for w in want]
