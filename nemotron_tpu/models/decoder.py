@@ -45,8 +45,17 @@ def init_decode_state(batch: int, hp: Hparams, dtype=jnp.float32) -> DecodeState
 def joint_step(jp, enc_t, dec_out):
     """Single-frame joint: enc_t [B, D], dec_out [B, decoder_dim] -> [B, V]."""
     e = enc_t @ jp.enc_w.T + jp.enc_b
+    return joint_from_proj(jp, e, dec_out)
+
+
+def joint_from_proj(jp, enc_proj, dec_out):
+    """Joint with the encoder-side projection precomputed ([B, joint_dim]).
+
+    The projection is invariant across the per-frame symbol loop (the
+    reference recomputes it per symbol, nemo-ggml.cpp:1310-1320) — hoisting it
+    saves one [B, D]x[D, joint_dim] matmul per greedy iteration."""
     d = dec_out @ jp.dec_w.T + jp.dec_b
-    h = jax.nn.relu(e + d)
+    h = jax.nn.relu(enc_proj + d)
     return h @ jp.out_w.T + jp.out_b
 
 
@@ -76,7 +85,7 @@ def greedy_decode(
 
     def frame_body(carry, inp):
         h, c, prev = carry
-        enc_t, t_idx = inp  # enc_t: [B, D]
+        enc_proj_t, t_idx = inp  # enc_proj_t: [B, joint_dim]
         frame_active = t_idx < n_valid  # [B]
 
         # Early-exit symbol loop: most frames emit 0-2 symbols before blank,
@@ -94,7 +103,7 @@ def greedy_decode(
                                     dtype=emb_table.dtype)
             emb = onehot @ emb_table  # [B, decoder_dim]
             dec_out, h2, c2 = lstm2_step(params.decoder, emb, h, c)
-            logits = joint_step(params.joint, enc_t, dec_out)
+            logits = joint_from_proj(params.joint, enc_proj_t, dec_out)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             is_blank = tok == blank
             emit = jnp.logical_and(~done, ~is_blank)
@@ -110,17 +119,20 @@ def greedy_decode(
             return (h, c, prev, done, toks, sym + 1)
 
         done0 = ~frame_active
-        toks0 = jnp.full((enc_t.shape[0], s_max), -1, dtype=jnp.int32)
+        toks0 = jnp.full((enc_proj_t.shape[0], s_max), -1, dtype=jnp.int32)
         h, c, prev, _, toks, _ = jax.lax.while_loop(
             sym_cond, sym_body, (h, c, prev, done0, toks0, jnp.int32(0))
         )
         return (h, c, prev), toks  # toks: [B, S]
 
-    enc_tm = jnp.swapaxes(enc_out, 0, 1)  # [T, B, D]
+    # encoder-side joint projection for ALL frames in one matmul, hoisted out
+    # of both the frame scan and the symbol loop (loop-invariant)
+    enc_proj = enc_out @ params.joint.enc_w.T + params.joint.enc_b  # [B,T,J]
+    enc_pm = jnp.swapaxes(enc_proj, 0, 1)  # [T, B, J]
     (h, c, prev), toks = jax.lax.scan(
         frame_body,
         (state.h, state.c, state.prev_token),
-        (enc_tm, jnp.arange(t, dtype=jnp.int32)),
+        (enc_pm, jnp.arange(t, dtype=jnp.int32)),
     )
     tokens = jnp.transpose(toks, (1, 0, 2))  # [T, B, S] -> [B, T, S]
     new_state = DecodeState(

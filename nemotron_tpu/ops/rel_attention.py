@@ -27,6 +27,36 @@ from .basic import linear
 # contractions are formulated as broadcast multiply-reduce (VPU) instead.
 VPU_ATTN = os.environ.get("NEMOTRON_TPU_VPU_ATTN", "0") == "1"
 
+# T=1 streaming attention (80 ms mode): compute scores/context as broadcast
+# multiply-reduce instead of batched M=1 matmuls. Decisive on TPU for two
+# reasons: (a) M=1 batched dots waste 127/128 MXU rows, and (b) XLA fuses
+# elementwise consumers into the K/V cache window SLICE — the dot formulation
+# materializes a copy of the ~70 MB/layer window every chunk, the VPU one
+# reads it straight from the cache buffer in HBM exactly once.
+# NEMOTRON_TPU_T1_MXU_ATTN=1 restores the dot formulation for comparison.
+T1_VPU_ATTN = os.environ.get("NEMOTRON_TPU_T1_MXU_ATTN", "0") != "1"
+
+
+def _t1_scores(q_uh, kc, kn_h):
+    """[B,H,1,Dh] queries vs [B,H,S,Dh] cache + [B,H,1,Dh] new frame ->
+    content scores [B,H,1,S+1], accumulated in f32 on the VPU (all ops fuse
+    with the cache read)."""
+    q32 = q_uh.astype(jnp.float32)
+    hist = (q32 * kc.astype(jnp.float32)).sum(-1)  # [B,H,S]
+    new = (q32 * kn_h.astype(jnp.float32)).sum(-1)  # [B,H,1]
+    return jnp.concatenate([hist, new], axis=-1)[:, :, None, :]
+
+
+def _t1_context(weights, vc, vn_h):
+    """weights [B,H,1,S+1] (f32), V cache [B,H,S,Dh] + new [B,H,1,Dh] ->
+    context [B,H,1,Dh] f32 (VPU broadcast multiply-reduce, fused)."""
+    s = vc.shape[2]
+    w_hist = weights[:, :, 0, :s, None]      # [B,H,S,1]
+    w_new = weights[:, :, 0, s:, None]       # [B,H,1,1]
+    ctx = (w_hist * vc.astype(jnp.float32)).sum(2)
+    ctx = ctx + (w_new * vn_h.astype(jnp.float32)).sum(2)
+    return ctx[:, :, None, :]
+
 
 def rel_shift_gather(pos_raw, klen: int):
     """pos_raw: [..., qlen, pos_len] -> [..., qlen, klen].
@@ -61,6 +91,83 @@ def rel_shift_gather(pos_raw, klen: int):
     return out[..., :klen]
 
 
+def rel_pos_mha_fullbuf(
+    x,
+    pos_emb,
+    q_w,
+    k_w,
+    v_w,
+    pos_w,
+    out_w,
+    bias_u,
+    bias_v,
+    n_heads: int,
+    d_head: int,
+    k_buf,
+    v_buf,
+    shift_onehot,
+    attn_mask,
+):
+    """Streaming rel-pos MHA over the FULL phased slack buffer (zero copies).
+
+    Instead of slicing the live [left_context] window out of the per-layer
+    cache buffer (a strided copy XLA must materialize for the score matmul),
+    scores are computed against ALL `S_buf` buffer slots; the static per-phase
+    slot -> relative-position mapping is folded into `shift_onehot`
+    ([T, pos_len, S_buf + T], columns of out-of-window slots all-zero) and
+    `attn_mask` ([B, S_buf + T] additive; out-of-window and not-yet-valid slots
+    at -1e9, so their softmax weight is exactly 0.0). Numerics are identical to
+    the windowed path: masked slots contribute exp(-inf) = 0 to the softmax.
+
+    x: [B, T, D]; k_buf/v_buf: [B, H, S_buf, Dh] HEAD-MAJOR per-layer views of
+    the stacked cache (free views — this function never re-materializes them;
+    head-major storage means the score/context contractions consume the cache
+    directly, with no [B,S,D] -> [B,H,S,Dh] physical transpose of ~70 MB per
+    layer per chunk).
+    Returns (out [B, T, D], k_new, v_new) — new frames only, [B, H, T, Dh];
+    the caller appends them at the static phase offset.
+    """
+    B, T, D = x.shape
+    q = linear(x, q_w)
+    k_new = linear(x, k_w)
+    v_new = linear(x, v_w)
+
+    pos = linear(pos_emb, pos_w)  # [pos_len, D]
+    qh = q.reshape(B, T, n_heads, d_head)
+    ph = pos.reshape(pos.shape[0], n_heads, d_head)
+    q_u = jnp.transpose(qh + bias_u[None, None], (0, 2, 1, 3))  # [B,H,T,Dh]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=x.dtype))
+
+    s_buf = k_buf.shape[2]
+    kn_h = jnp.transpose(k_new.reshape(B, T, n_heads, d_head), (0, 2, 1, 3))
+    vn_h = jnp.transpose(v_new.reshape(B, T, n_heads, d_head), (0, 2, 1, 3))
+
+    pos_raw = jnp.einsum("bthd,phd->bhtp", qh + bias_v[None, None], ph)
+    pos_sc = jnp.einsum("bhtp,tpk->bhtk", pos_raw, shift_onehot)
+    if T == 1 and T1_VPU_ATTN:
+        content = _t1_scores(q_u, k_buf, kn_h)
+        scores = (content + pos_sc) * scale + attn_mask[:, None, None, :]
+        weights = nn.softmax(scores.astype(jnp.float32), axis=-1)
+        ctx = _t1_context(weights, v_buf, vn_h).astype(x.dtype)
+    else:
+        content = jnp.concatenate(
+            [
+                jnp.einsum("bhtd,bhsd->bhts", q_u, k_buf),
+                jnp.einsum("bhtd,bhsd->bhts", q_u, kn_h),
+            ],
+            axis=-1,
+        )  # [B, H, T, S_buf + T]
+        scores = (content + pos_sc) * scale + attn_mask[:, None, None, :]
+        weights = nn.softmax(scores, axis=-1)
+        ctx = (
+            jnp.einsum("bhts,bhsd->bhtd", weights[..., :s_buf], v_buf)
+            + jnp.einsum("bhts,bhsd->bhtd", weights[..., s_buf:], vn_h)
+        )  # [B, H, T, Dh]
+    ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, T, D)
+    out = linear(ctx, out_w)
+    return out, kn_h, vn_h
+
+
 def rel_pos_mha(
     x,
     pos_emb,
@@ -83,16 +190,19 @@ def rel_pos_mha(
 
     x:        [B, T, D]
     pos_emb:  [pos_len, D] with pos_len = 2*klen - 1 (descending NeMo order)
-    k_cache / v_cache: [B, cache_len, D] or None
+    k_cache / v_cache: head-major [B, H, cache_len, Dh] with split_kv;
+              [B, cache_len, D] on the legacy non-split path; or None
     attn_mask: [B, klen] additive (0 valid / -1e9 masked) or None
     left_context: when set, also return updated K/V caches.
 
     split_kv (streaming fast path): NEVER materializes the [B, cache+T, D]
     concatenated K/V — scores against the cache and against the new frames are
     computed separately and concatenated at score size ([B, H, T, klen],
-    ~1000x smaller), and the context is the sum of two matmuls. The returned
-    caches are (k_new, v_new) [B, T, D]: the caller performs the buffer shift
-    once for all layers (see stream_encode_step). Numerics identical.
+    ~1000x smaller), and the context is the sum of two matmuls. Caches are
+    HEAD-MAJOR [B, H, cache_len, Dh] so the contractions consume them with no
+    physical transpose; the returned (k_new, v_new) are [B, H, T, Dh] and the
+    caller performs the buffer shift once for all layers (see
+    stream_encode_step). Numerics identical.
 
     Returns out [B, T, D], or (out, k_out, v_out).
     """
@@ -109,34 +219,42 @@ def rel_pos_mha(
     scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=x.dtype))
 
     if split_kv and k_cache is not None:
-        cache_len = k_cache.shape[1]
+        cache_len = k_cache.shape[2]
         klen = cache_len + T
-        kc_h = k_cache.reshape(B, cache_len, n_heads, d_head)
-        vc_h = v_cache.reshape(B, cache_len, n_heads, d_head)
-        kn_h = k_new.reshape(B, T, n_heads, d_head)
-        vn_h = v_new.reshape(B, T, n_heads, d_head)
+        q_uh = jnp.transpose(q_u, (0, 2, 1, 3))  # [B, H, T, Dh]
+        kn_h = jnp.transpose(k_new.reshape(B, T, n_heads, d_head), (0, 2, 1, 3))
+        vn_h = jnp.transpose(v_new.reshape(B, T, n_heads, d_head), (0, 2, 1, 3))
 
-        content = jnp.concatenate(
-            [
-                jnp.einsum("bthd,bshd->bhts", q_u, kc_h),
-                jnp.einsum("bthd,bshd->bhts", q_u, kn_h),
-            ],
-            axis=-1,
-        )  # [B, H, T, klen]
         pos_raw = jnp.einsum("bthd,phd->bhtp", qh + bias_v[None, None], ph)
         pos_sc = rel_shift_gather(pos_raw, klen)
-        scores = (content + pos_sc) * scale
-        if attn_mask is not None:
-            scores = scores + attn_mask[:, None, None, :]
-        weights = nn.softmax(scores, axis=-1)
-        w_hist = weights[..., :cache_len]
-        w_new = weights[..., cache_len:]
-        ctx = (
-            jnp.einsum("bhts,bshd->bthd", w_hist, vc_h)
-            + jnp.einsum("bhts,bshd->bthd", w_new, vn_h)
-        ).reshape(B, T, D)
+        if T == 1 and T1_VPU_ATTN:
+            content = _t1_scores(q_uh, k_cache, kn_h)
+            scores = (content + pos_sc) * scale
+            if attn_mask is not None:
+                scores = scores + attn_mask[:, None, None, :]
+            weights = nn.softmax(scores.astype(jnp.float32), axis=-1)
+            ctx = _t1_context(weights, v_cache, vn_h).astype(x.dtype)
+        else:
+            content = jnp.concatenate(
+                [
+                    jnp.einsum("bhtd,bhsd->bhts", q_uh, k_cache),
+                    jnp.einsum("bhtd,bhsd->bhts", q_uh, kn_h),
+                ],
+                axis=-1,
+            )  # [B, H, T, klen]
+            scores = (content + pos_sc) * scale
+            if attn_mask is not None:
+                scores = scores + attn_mask[:, None, None, :]
+            weights = nn.softmax(scores, axis=-1)
+            w_hist = weights[..., :cache_len]
+            w_new = weights[..., cache_len:]
+            ctx = (
+                jnp.einsum("bhts,bhsd->bhtd", w_hist, v_cache)
+                + jnp.einsum("bhts,bhsd->bhtd", w_new, vn_h)
+            )  # [B, H, T, Dh]
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, T, D)
         out = linear(ctx, out_w)
-        return out, k_new, v_new
+        return out, kn_h, vn_h
 
     if k_cache is not None:
         k = jnp.concatenate([k_cache, k_new], axis=1)

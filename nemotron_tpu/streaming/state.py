@@ -26,8 +26,8 @@ PP_TAIL_LEN = 512 - 160  # n_fft - hop
 
 @_ptree
 class StreamState:
-    k_cache: Any      # [L, B, left_context, D]
-    v_cache: Any      # [L, B, left_context, D]
+    k_cache: Any      # [L, B, H, cache_buf_len, Dh] head-major (see encoder)
+    v_cache: Any      # [L, B, H, cache_buf_len, Dh]
     conv_cache: Any   # [L, B, kernel-1, D]
     cache_valid: Any  # [B] int32
     decode: DecodeState
@@ -44,8 +44,8 @@ def init_stream_state(
     L, D = hp.n_layers, hp.d_model
     s = cfg.cache_buf_len(hp)  # left context + phase slack
     return StreamState(
-        k_cache=jnp.zeros((L, batch, s, D), dtype=dtype),
-        v_cache=jnp.zeros((L, batch, s, D), dtype=dtype),
+        k_cache=jnp.zeros((L, batch, hp.n_heads, s, hp.d_head), dtype=dtype),
+        v_cache=jnp.zeros((L, batch, hp.n_heads, s, hp.d_head), dtype=dtype),
         conv_cache=jnp.zeros((L, batch, cfg.conv_kernel_size - 1, D), dtype=dtype),
         cache_valid=jnp.zeros((batch,), dtype=jnp.int32),
         decode=init_decode_state(batch, hp, dtype=dtype),

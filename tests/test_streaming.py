@@ -244,8 +244,39 @@ def test_all_active_fast_path_matches_gated():
 
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     # gated window stays at [0, lc); fast window is now at [chunk, lc+chunk)
-    w1 = np.asarray(s1.k_cache)[:, :, 0:lc]
-    w2 = np.asarray(s2.k_cache)[:, :, chunk : lc + chunk]
+    # (cache layout [L, B, H, S, Dh]: the window lives on axis 3)
+    w1 = np.asarray(s1.k_cache)[:, :, :, 0:lc]
+    w2 = np.asarray(s2.k_cache)[:, :, :, chunk : lc + chunk]
     np.testing.assert_allclose(w1, w2, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(s1.cache_valid),
                                   np.asarray(s2.cache_valid))
+
+
+def test_unrolled_fullbuf_matches_scan_layers(monkeypatch):
+    """The unrolled full-buffer-attention fast path (default) and the lax.scan
+    windowed formulation are two lowerings of the same math — outputs and
+    caches must match to float tolerance at every phase."""
+    import nemotron_tpu.models.encoder as enc_mod
+
+    B = 2
+    rng = np.random.default_rng(11)
+    mels = [rng.standard_normal((B, CFG.chunk_mel_frames, HP.n_mels))
+            .astype(np.float32) for _ in range(CFG.n_phases)]
+
+    outs = {}
+    for scan in (False, True):
+        monkeypatch.setattr(enc_mod, "SCAN_LAYERS", scan)
+        state = init_stream_state(B, HP, CFG)
+        k, v, c, valid = (state.k_cache, state.v_cache, state.conv_cache,
+                          state.cache_valid)
+        encs = []
+        for phase, mel in enumerate(mels):
+            e, k, v, c, valid = stream_encode_step(
+                PARAMS, HP, CFG, jnp.asarray(mel), k, v, c, valid, phase=phase
+            )
+            encs.append(np.asarray(e))
+        outs[scan] = (np.stack(encs), np.asarray(k), np.asarray(v),
+                      np.asarray(c), np.asarray(valid))
+
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(a, b, atol=2e-5)
