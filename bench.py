@@ -34,7 +34,7 @@ except Exception:
 BASELINE_STREAMS = 1.0 / 0.064
 
 
-def run(batch_sizes=(256, 320, 384), dtype=jnp.bfloat16, steps=20,
+def run(batch_sizes=(256, 384, 512, 768), dtype=jnp.bfloat16, steps=20,
         int8: bool = False):
     from nemotron_tpu.config import CacheConfig, Hparams, LatencyMode
     from nemotron_tpu.models.asr import fused_serve_tick

@@ -273,14 +273,16 @@ def stream_encode_step(
             kn_l.append(k_new)
             vn_l.append(v_new)
             cc_l.append(cc2)
-        k_new_all = jnp.stack(kn_l)  # [L, B, H, T, Dh]
-        v_new_all = jnp.stack(vn_l)
-        conv_out = jnp.stack(cc_l)
-
-        k_out = jax.lax.dynamic_update_slice(
-            k_cache, k_new_all, (0, 0, 0, win_hi, 0))
-        v_out = jax.lax.dynamic_update_slice(
-            v_cache, v_new_all, (0, 0, 0, win_hi, 0))
+        if kn_l:  # n_layers=0 is a legal (frontend-only) configuration
+            k_new_all = jnp.stack(kn_l)  # [L, B, H, T, Dh]
+            v_new_all = jnp.stack(vn_l)
+            conv_out = jnp.stack(cc_l)
+            k_out = jax.lax.dynamic_update_slice(
+                k_cache, k_new_all, (0, 0, 0, win_hi, 0))
+            v_out = jax.lax.dynamic_update_slice(
+                v_cache, v_new_all, (0, 0, 0, win_hi, 0))
+        else:
+            k_out, v_out, conv_out = k_cache, v_cache, conv_cache
 
         if params.prompt is not None and prompt_onehot is not None:
             x = prompt_fusion(params.prompt, x, prompt_onehot)

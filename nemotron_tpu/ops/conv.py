@@ -22,8 +22,26 @@ from .basic import linear
 
 def causal_conv2d(x, w, b, stride: int):
     """x: [B, H, W, C_in]; w: (OC, IC, KH, KW) torch layout.
-    Asymmetric causal padding: (k-1, s-1) on H and W."""
+    Asymmetric causal padding: (k-1, s-1) on H and W.
+
+    C_in == 1 (the subsampling entry conv) is reformulated as im2col patches
+    + one [KH*KW -> OC] matmul: a single-input-channel NHWC convolution is
+    pathological on TPU (the lane dimension is 1/128 occupied and XLA inserts
+    layout transforms), while the patch matmul runs on the MXU directly."""
     kh, kw = w.shape[2], w.shape[3]
+    if w.shape[1] == 1 and x.shape[-1] == 1:
+        x2 = x[..., 0]  # [B, H, W]
+        xp = jnp.pad(x2, ((0, 0), (kh - 1, stride - 1), (kw - 1, stride - 1)))
+        ho = (xp.shape[1] - kh) // stride + 1
+        wo = (xp.shape[2] - kw) // stride + 1
+        taps = [
+            xp[:, di : di + stride * ho : stride,
+               dj : dj + stride * wo : stride]
+            for di in range(kh) for dj in range(kw)
+        ]
+        patches = jnp.stack(taps, axis=-1)  # [B, ho, wo, KH*KW]
+        wmat = w[:, 0].reshape(w.shape[0], kh * kw)  # [OC, taps]
+        return jnp.einsum("bhwt,ot->bhwo", patches, wmat) + b
     w_hwio = jnp.transpose(w, (2, 3, 1, 0))
     y = jax.lax.conv_general_dilated(
         x,

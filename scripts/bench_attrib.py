@@ -89,6 +89,22 @@ def main():
     results = {}
     want = set(args.variants.split(","))
 
+    if "noop" in want:
+        # Pure per-dispatch overhead: a chained step whose device work is one
+        # elementwise op on the tiniest state leaf. Anything this measures is
+        # runtime/tunnel dispatch cost, not kernel time.
+        fn = jax.jit(lambda s, a: dataclasses.replace(
+            s, pp_last=s.pp_last + a[:, 0].astype(jnp.float32)),
+            donate_argnums=(0,))
+
+        def stepn(st, a):
+            return (fn(st[0], a), None)
+
+        state = (init_stream_state(B, hp, cfg, dtype=dtype), None)
+        t = chain_time(stepn, state, blocks, args.steps,
+                       lambda st: st[0].pp_last[:1])
+        results["noop"] = t
+
     if "full" in want:
         fn = jax.jit(functools.partial(
             lambda p, s, a, nv: fused_serve_tick(p, s, a, nv, None,
@@ -114,8 +130,19 @@ def main():
         xh = x.reshape(b, t, hp.n_heads, hp.d_head).transpose(0, 2, 1, 3)
         return x, xh, xh  # head-major new frames, as rel_pos_mha returns
 
+    def _nosub(sub, mel):
+        # stand-in with the right [B, T', d_model] shape, data-dependent so it
+        # can't constant-fold; isolates the subsampling stack's cost
+        t_out = hp.subsampled_len(mel.shape[1])
+        reps = hp.d_model // mel.shape[2]
+        return jnp.tile(mel[:, :t_out, :], (1, 1, reps)).astype(jnp.bfloat16)
+
     ablations = {
         "noattn": ("rel_pos_mha", _noattn),
+        "nosub": ("conv_subsampling", _nosub),
+        # frontend with the subsampling stack stubbed AND 0 conformer layers:
+        # isolates mel kernel + tick bookkeeping (front - this = subsampling)
+        "frontnosub": ("conv_subsampling", _nosub),
         "noffn": ("ffn", lambda x, w1, w2: x),
         "noconv": ("depthwise_causal_conv1d",
                    lambda x, w, cache=None: (x, cache)),
@@ -123,19 +150,24 @@ def main():
     for name, (attr, repl) in ablations.items():
         if name not in want:
             continue
+        hp_v, params_v = hp, params
+        if name == "frontnosub":
+            hp_v = dataclasses.replace(hp, n_layers=0)
+            params_v = dataclasses.replace(
+                params, layers=jax.tree.map(lambda x: x[:0], params.layers))
         orig = getattr(enc_mod, attr)
         setattr(enc_mod, attr, repl)
         try:
             fn = jax.jit(functools.partial(
-                lambda p, s, a: fused_encode_tick(p, s, a, None,
-                                                  hp=hp, cfg=cfg, phase=0)),
+                lambda p, s, a, _h=hp_v: fused_encode_tick(
+                    p, s, a, None, hp=_h, cfg=cfg, phase=0)),
                 donate_argnums=(1,))
 
-            def stepa(st, a, fn=fn):
-                s, enc = fn(params, st[0], a)
+            def stepa(st, a, fn=fn, pv=params_v):
+                s, enc = fn(pv, st[0], a)
                 return (s, enc)
 
-            state = (init_stream_state(B, hp, cfg, dtype=dtype), None)
+            state = (init_stream_state(B, hp_v, cfg, dtype=dtype), None)
             t = chain_time(stepa, state, blocks, args.steps,
                            lambda st: st[1][:1, :1, :8])
             results[name] = t
@@ -178,9 +210,9 @@ def main():
         results["decode"] = t
 
     for name in sorted(want):
-        if not name.startswith("layers"):
+        if not name.startswith("layers") and name != "front":
             continue
-        nl = int(name[len("layers"):])
+        nl = 0 if name == "front" else int(name[len("layers"):])
         hp_n = dataclasses.replace(hp, n_layers=nl)
         params_n = dataclasses.replace(
             params, layers=jax.tree.map(lambda x: x[:nl], params.layers))
@@ -197,12 +229,6 @@ def main():
         t = chain_time(stepl, state, blocks, args.steps,
                        lambda st: st[1][:1, :1, :8])
         results[name] = t
-
-    if "front" in want and "layers0" not in results:
-        # 0-layer encoder = mel + subsampling + cache bookkeeping
-        hp0 = dataclasses.replace(hp, n_layers=1)
-        # cheapest honest proxy: layers1 - layer slope; just run layers1 here
-        pass
 
     for k, v in results.items():
         print(f"{k:10s} {v * 1e3:8.2f} ms", file=sys.stderr)
