@@ -149,6 +149,53 @@ class ASRModel:
 
         return fn
 
+    @functools.lru_cache(maxsize=64)
+    def _fused_tick_packed_fn(self, cfg: CacheConfig, batch: int,
+                              all_active: bool, phase: int):
+        from .models.asr import fused_serve_tick
+
+        hp = self.hp
+        shift = cfg.shift_samples
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fn(params, state, packed):
+            # packed [B, shift+3] int16: audio | n_valid | prompt_idx | active
+            # — ONE host->device transfer per tick instead of four (each
+            # upload through a tunneled TPU costs a full round-trip)
+            audio = packed[:, :shift]
+            n_valid = packed[:, shift].astype(jnp.int32)
+            prompt = packed[:, shift + 1].astype(jnp.int32)
+            act = packed[:, shift + 2] != 0
+            return fused_serve_tick(
+                params, state, audio, n_valid,
+                None if all_active else act,
+                prompt if hp.num_prompts > 0 else None, hp=hp, cfg=cfg,
+                phase=phase,
+            )
+
+        return fn
+
+    @staticmethod
+    def pack_tick_inputs(audio_block, n_valid, prompt_idx, active):
+        """Host-side packing for fused_tick_packed: [B, shift+3] int16."""
+        import numpy as np
+
+        b = audio_block.shape[0]
+        cols = np.empty((b, 3), dtype=np.int16)
+        cols[:, 0] = n_valid
+        cols[:, 1] = prompt_idx if prompt_idx is not None else 0
+        cols[:, 2] = active if active is not None else 1
+        return np.concatenate([audio_block, cols], axis=1)
+
+    def fused_tick_packed(self, cfg, state, packed_dev, all_active: bool,
+                          phase: int = 0):
+        """fused_tick consuming a pre-uploaded packed input (see
+        pack_tick_inputs); lets the caller overlap the upload with other
+        work."""
+        b = packed_dev.shape[0]
+        fn = self._fused_tick_packed_fn(cfg, b, all_active, phase)
+        return fn(self.params, state, packed_dev)
+
     def fused_tick(self, cfg, state, audio_block, n_valid, active,
                    prompt_idx=None, phase: int = 0):
         """One fused serving tick: raw PCM blocks in -> tokens out (see

@@ -7,7 +7,10 @@ together in one jitted TPU call per tick.
 
 Concurrency model:
   - asyncio readers: byte-moving only (like the reference's reader threads)
-  - one engine task owns all model state and drains the work queue
+  - a dedicated ENGINE THREAD owns all model state and ticks continuously
+    while work exists — its cadence is independent of event-loop scheduling
+    (hundreds of connections' callbacks would otherwise sit between ticks);
+    event batches are posted back to the loop for delivery
   - global queued-PCM budget for admission control (64 MB default) with PUSH
     payloads split into <= 8000-sample segments for fairness
 """
@@ -17,6 +20,7 @@ from __future__ import annotations
 import asyncio
 import json
 import sys
+import threading
 
 import numpy as np
 
@@ -33,8 +37,12 @@ class StreamServer:
         self.mem_free = asyncio.Condition()
         self.writers: dict[int, asyncio.StreamWriter] = {}  # stream_id -> conn
         self.conn_streams: dict[asyncio.StreamWriter, set[int]] = {}
-        self.wake = asyncio.Event()
+        # threading.Event: the engine runs on its OWN thread (see engine_loop)
+        # so its tick cadence is decoupled from event-loop scheduling churn;
+        # protocol handlers set this to wake it, from the loop thread.
+        self.wake = threading.Event()
         self._engine_task: asyncio.Task | None = None
+        self._stop = False
         self._queued_samples: dict[int, int] = {}
 
     # ------------------------------------------------------------------
@@ -143,38 +151,82 @@ class StreamServer:
                 writer, P.pack(P.OP_ERROR, stream_id, f"bad opcode {opcode}"))
 
     # ------------------------------------------------------------------
+    def _engine_thread(self, loop: asyncio.AbstractEventLoop,
+                       out_q: asyncio.Queue) -> None:
+        """Tick loop on a dedicated thread: runs back-to-back ticks while work
+        exists, independent of event-loop latency. Events + consumed-sample
+        batches are posted to the loop for delivery."""
+        try:
+            while not self._stop:
+                self.wake.wait(timeout=0.05)
+                self.wake.clear()
+                more = True
+                while more and not self._stop:
+                    events, more = self.engine.tick()
+                    consumed = self.engine.drain_consumed()
+                    if events or consumed:
+                        try:
+                            loop.call_soon_threadsafe(out_q.put_nowait,
+                                                      (events, consumed))
+                        except RuntimeError:  # loop closed: shutting down
+                            self._stop = True
+                            return
+        except BaseException:  # a dead engine thread must never be silent
+            import traceback
+
+            traceback.print_exc()
+            self._stop = True
+            raise
+
     async def engine_loop(self) -> None:
         loop = asyncio.get_running_loop()
+        out_q: asyncio.Queue = asyncio.Queue()
+        # wake the engine thread the moment a pipelined token readback lands
+        self.engine.set_on_ready(self.wake.set)
+        thread = threading.Thread(
+            target=self._engine_thread, args=(loop, out_q),
+            daemon=True, name="engine-tick")
+        thread.start()
         last_stats = 0.0
-        while True:
-            await self.wake.wait()
-            self.wake.clear()
-            more = True
-            while more:
-                # batched compute off the event loop thread
-                events, more = await loop.run_in_executor(None, self.engine.tick)
+        try:
+            while True:
+                events, consumed = await out_q.get()
                 # release budget as the engine consumes queued PCM (reference
                 # semantics: nemo-server.cpp:116-126 releases per DATA event,
                 # not on stream end — long-lived streams must not accumulate)
                 freed = 0
-                for sid, n in self.engine.drain_consumed().items():
+                for sid, n in consumed.items():
                     have = self._queued_samples.get(sid, 0)
                     take = min(have, n)
                     self._queued_samples[sid] = have - take
                     freed += 2 * take
+                # batched delivery: buffer every frame first, then one drain
+                # per touched writer (per-event awaits serialized the loop)
+                touched: set[asyncio.StreamWriter] = set()
                 for ev in events:
                     w = self.writers.get(ev.stream_id)
                     if ev.kind == "text":
                         if w is not None and ev.text:
-                            await self._send(w, P.pack(P.OP_TEXT, ev.stream_id,
-                                                       ev.text))
+                            try:
+                                w.write(P.pack(P.OP_TEXT, ev.stream_id, ev.text))
+                                touched.add(w)
+                            except (ConnectionError, RuntimeError):
+                                pass
                     elif ev.kind == "ended":
                         if w is not None:
-                            await self._send(w, P.pack(P.OP_ENDED, ev.stream_id,
-                                                       ev.text))
+                            try:
+                                w.write(P.pack(P.OP_ENDED, ev.stream_id, ev.text))
+                                touched.add(w)
+                            except (ConnectionError, RuntimeError):
+                                pass
                             self.conn_streams.get(w, set()).discard(ev.stream_id)
                         self.writers.pop(ev.stream_id, None)
                         freed += 2 * self._queued_samples.pop(ev.stream_id, 0)
+                for w in touched:
+                    try:
+                        await w.drain()
+                    except (ConnectionError, RuntimeError):
+                        pass
                 if freed:
                     async with self.mem_free:
                         self.mem_used = max(0, self.mem_used - freed)
@@ -185,6 +237,9 @@ class StreamServer:
                     last_stats = _t.monotonic()
                     print(f"[stats] {json.dumps(self.engine.stats())} "
                           f"mem={self.mem_used >> 20}MB", file=sys.stderr)
+        finally:
+            self._stop = True
+            self.wake.set()
 
     async def serve(self, host: str | None = None, port: int | None = None,
                     unix_path: str | None = None) -> None:

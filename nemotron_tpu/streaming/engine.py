@@ -20,6 +20,8 @@ Host-side per-stream work (sample bookkeeping, token -> text) stays in numpy.
 
 from __future__ import annotations
 
+import collections
+import concurrent.futures
 import dataclasses
 import itertools
 import os
@@ -48,6 +50,34 @@ from ..streaming.state import PP_TAIL_LEN, reset_slots
 # shift_samples block yields exactly shift_mel_frames frames (fixed shapes).
 PRIME_SAMPLES = PP_TAIL_LEN - 256  # 96
 PREEMPH = 0.97
+
+
+@dataclasses.dataclass
+class _Pending:
+    """One entry of the FIFO readback queue.
+
+    kind "tokens": a dispatched step's token buffer. The reader thread turns
+    `tokens_dev` into the host `result` array (absorbing the tunnel RTT off
+    the tick thread); the tick thread scatters it once ready — scatter and
+    event emission stay on the tick thread, so ordering is deterministic.
+
+    kind "ended": an end-of-stream sentinel. A stream that ends exactly on a
+    chunk boundary has no finalize chunk, but its last steady chunk's tokens
+    may still be in flight — the sentinel rides the same FIFO so its "ended"
+    event (and the slot release) can never overtake the final text.
+    """
+
+    kind: str
+    tokens_dev: object = None
+    result: object = None
+    fetching: bool = False
+    active: object = None
+    n_valid: object = None
+    finalizing: object = None
+    frame_base: object = None
+    stream_ids: object = None
+    slot_idx: int = -1
+    stream_id: int = -1
 
 
 @dataclasses.dataclass
@@ -116,12 +146,27 @@ class EngineGroup:
         # host mirror of decode.frame_offset (avoids a device sync per tick)
         self.frame_offsets = np.zeros(batch, dtype=np.int64)
         self.phase = 0  # slack-buffer phase; advances on all-active ticks
-        # pipelined token readbacks: FIFO of dispatched steps' results,
-        # processed once ready (or once READBACK_DEPTH ticks old), while newer
-        # steps run on device — hides the per-fetch tunnel round-trip.
-        # entries: (tokens_dev, active, n_valid, finalizing, frame_base,
-        #           stream_ids)
-        self._pending_q: list = []
+        # pipelined token readbacks: FIFO of _Pending entries. A dedicated
+        # reader thread converts each entry's device buffer to a host array
+        # (on axon, is_ready()/copy_to_host_async are unavailable and every
+        # fetch costs a full ~25 ms tunnel round-trip — paying it on the tick
+        # thread serialized readback with compute and capped the whole server
+        # at ~RTT per tick). The tick thread scatters entries whose result has
+        # landed (or blocks once an entry is READBACK_DEPTH ticks old).
+        self._pending_q: collections.deque[_Pending] = collections.deque()
+        self._pending_cond = threading.Condition()
+        # called from the reader thread when a result lands (the server wires
+        # this to wake its event loop so drains don't wait for the next tick)
+        self.on_ready = None
+        self._reader = threading.Thread(
+            target=self._reader_loop, daemon=True,
+            name=f"engine-readback-rc{cfg.att_right_context}")
+        self._reader.start()
+        # single-worker pool for the per-tick packed input upload (overlapped
+        # with readback scatter; see tick)
+        self._uploader = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1,
+            thread_name_prefix=f"engine-upload-rc{cfg.att_right_context}")
         # cross-thread mutation queue (see module docstring)
         self._lock = threading.Lock()
         self._pending_resets: list[int] = []
@@ -134,6 +179,9 @@ class EngineGroup:
         self.total_steps = 0
         self.total_step_seconds = 0.0
         self.total_transfer_seconds = 0.0  # blocked on device readbacks
+        self.total_upload_seconds = 0.0    # host->device input staging
+        self.total_tick_seconds = 0.0      # whole tick() incl. staging
+        self.total_dispatch_seconds = 0.0  # jitted-call dispatch (async)
         self.total_encoder_seconds = 0.0   # PHASE_TIMERS mode only
         self.total_decoder_seconds = 0.0   # PHASE_TIMERS mode only
         self.total_audio_seconds = 0.0
@@ -254,32 +302,76 @@ class EngineGroup:
             return 0
         return (avail - 512 + 160) // 160
 
-    def _drain_pending(self, force_all: bool) -> list[Event]:
-        """Process queued readbacks FIFO: entries whose data has landed, plus
-        any older than READBACK_DEPTH (blocking fetch). force_all drains
-        everything (idle ticks — nothing better to do than wait)."""
-        events: list[Event] = []
-        while self._pending_q:
-            tokens_dev = self._pending_q[0][0]
-            over_depth = len(self._pending_q) > READBACK_DEPTH
-            if not (force_all or over_depth):
+    def _reader_loop(self) -> None:
+        """Readback thread: convert queued token buffers to host arrays, FIFO.
+        Runs for the lifetime of the group (daemon)."""
+        while True:
+            entry = None
+            with self._pending_cond:
+                while entry is None:
+                    for e in self._pending_q:
+                        if (e.kind == "tokens" and e.result is None
+                                and not e.fetching):
+                            e.fetching = True
+                            entry = e
+                            break
+                    if entry is None:
+                        self._pending_cond.wait()
+            arr = np.asarray(entry.tokens_dev)  # the blocking tunnel RTT
+            with self._pending_cond:
+                entry.result = arr
+                entry.tokens_dev = None
+                self._pending_cond.notify_all()
+            cb = self.on_ready
+            if cb is not None:
                 try:
-                    if not tokens_dev.is_ready():
+                    cb()
+                except Exception:
+                    pass
+
+    def _enqueue_pending(self, entry: _Pending) -> None:
+        with self._pending_cond:
+            self._pending_q.append(entry)
+            self._pending_cond.notify_all()
+
+    def _drain_pending(self, force_all: bool) -> list[Event]:
+        """Process queued readbacks FIFO: entries whose host copy has landed,
+        plus any older than READBACK_DEPTH (block on the reader). force_all
+        drains everything (idle ticks — nothing better to do than wait)."""
+        events: list[Event] = []
+        while True:
+            with self._pending_cond:
+                if not self._pending_q:
+                    break
+                head = self._pending_q[0]
+                if head.kind == "tokens" and head.result is None:
+                    over_depth = len(self._pending_q) > READBACK_DEPTH
+                    if not (force_all or over_depth):
                         break
-                except AttributeError:
-                    pass  # no is_ready on this backend: treat as ready
-            events.extend(self._process_pending(self._pending_q.pop(0)))
+                    t0 = time.perf_counter()
+                    while head.result is None:
+                        self._pending_cond.wait(timeout=1.0)
+                    self.total_transfer_seconds += time.perf_counter() - t0
+                self._pending_q.popleft()
+            if head.kind == "ended":
+                slot = self.slots[head.slot_idx]
+                events.append(Event(head.stream_id, "ended", ""))
+                if slot is not None and slot.stream_id == head.stream_id:
+                    self.release(head.slot_idx)
+            else:
+                events.extend(self._process_pending(head))
         return events
 
-    def _process_pending(self, pending) -> list[Event]:
-        """Read back and scatter one step's tokens (the readback was started
-        async at dispatch time, so this rarely blocks)."""
+    def _process_pending(self, pending: _Pending) -> list[Event]:
+        """Scatter one step's tokens (host array produced by the reader)."""
         if pending is None:
             return []
-        tokens_dev, active, n_valid, finalizing, frame_base, stream_ids = pending
-        t0 = time.perf_counter()
-        tok_np = np.asarray(tokens_dev)
-        self.total_transfer_seconds += time.perf_counter() - t0
+        active = pending.active
+        n_valid = pending.n_valid
+        finalizing = pending.finalizing
+        frame_base = pending.frame_base
+        stream_ids = pending.stream_ids
+        tok_np = pending.result
         events: list[Event] = []
         for i in np.nonzero(active)[0]:
             slot = self.slots[i]
@@ -306,6 +398,7 @@ class EngineGroup:
     def tick(self) -> tuple[list[Event], bool]:
         """One batched round: process the previous step's results, dispatch
         the next fused step. Returns (events, more_work_pending)."""
+        t_tick = time.perf_counter()
         cfg, hp = self.cfg, self.hp
         shift = cfg.shift_samples
         b = self.batch
@@ -377,23 +470,38 @@ class EngineGroup:
                 if s is not None:
                     stream_ids[i] = s.stream_id
             if PHASE_TIMERS:
+                t_up = time.perf_counter()
+                block_dev = jnp.asarray(block)
+                n_valid_dev = jnp.asarray(n_valid)
+                prompt_dev = jnp.asarray(prompt_idx)
+                self.total_upload_seconds += time.perf_counter() - t_up
+                t_disp = time.perf_counter()
                 self.state, tokens, t_enc, t_dec = self.model.fused_tick_profiled(
-                    self.cfg, self.state, jnp.asarray(block),
-                    jnp.asarray(n_valid), active_arg,
-                    jnp.asarray(prompt_idx), phase=self.phase,
+                    self.cfg, self.state, block_dev,
+                    n_valid_dev, active_arg,
+                    prompt_dev, phase=self.phase,
                 )
                 self.total_encoder_seconds += t_enc
                 self.total_decoder_seconds += t_dec
+                self.total_dispatch_seconds += time.perf_counter() - t_disp
             else:
-                self.state, tokens = self.model.fused_tick(
-                    self.cfg,
-                    self.state,
-                    jnp.asarray(block),
-                    jnp.asarray(n_valid),
-                    active_arg,
-                    jnp.asarray(prompt_idx),
+                # ONE packed upload (audio | n_valid | prompt | active) on a
+                # helper thread, overlapped with scattering older readbacks —
+                # through the tunnel each upload costs a full round-trip
+                t_up = time.perf_counter()
+                packed = self.model.pack_tick_inputs(
+                    block, n_valid, prompt_idx,
+                    None if all_active else active)
+                fut = self._uploader.submit(jnp.asarray, packed)
+                events.extend(self._drain_pending(force_all=False))
+                packed_dev = fut.result()
+                self.total_upload_seconds += time.perf_counter() - t_up
+                t_disp = time.perf_counter()
+                self.state, tokens = self.model.fused_tick_packed(
+                    self.cfg, self.state, packed_dev, all_active,
                     phase=self.phase,
                 )
+                self.total_dispatch_seconds += time.perf_counter() - t_disp
             try:  # start the device->host copy now; collected next tick
                 tokens.copy_to_host_async()
             except AttributeError:
@@ -406,23 +514,39 @@ class EngineGroup:
                     self.state = self.model.compact_state(self.cfg, self.state)
                     self.phase = 0
             self.frame_offsets[active] += n_valid[active]
-            self._pending_q.append(
-                (tokens, active, n_valid, finalizing, frame_base, stream_ids)
-            )
-            # read back older steps' tokens while this one runs
+            self._enqueue_pending(_Pending(
+                kind="tokens", tokens_dev=tokens, active=active,
+                n_valid=n_valid, finalizing=finalizing,
+                frame_base=frame_base, stream_ids=stream_ids,
+            ))
+            for i, sid in ended_now:
+                # FIFO sentinel: "ended" (and the slot release) must not
+                # overtake this stream's final in-flight token readback
+                self._enqueue_pending(_Pending(
+                    kind="ended", slot_idx=i, stream_id=sid))
+            # scatter older steps' landed tokens while this one runs
             events.extend(self._drain_pending(force_all=False))
             self.total_step_seconds += time.perf_counter() - t0
         else:
+            for i, sid in ended_now:
+                self._enqueue_pending(_Pending(
+                    kind="ended", slot_idx=i, stream_id=sid))
             events.extend(self._drain_pending(force_all=True))
 
-        for i, sid in ended_now:
-            events.append(Event(sid, "ended", ""))
-            slot = self.slots[i]
-            if slot is not None and slot.stream_id == sid:
-                self.release(i)
-
+        with self._pending_cond:
+            if not self._pending_q:
+                pending_more = False
+            elif self.on_ready is None:
+                # no wake callback (tests / direct use): keep ticking until
+                # the queue drains
+                pending_more = True
+            else:
+                # the reader's on_ready wake covers in-flight fetches; only
+                # report work the NEXT tick could actually drain now
+                head = self._pending_q[0]
+                pending_more = head.kind == "ended" or head.result is not None
         more = (
-            bool(self._pending_q)
+            pending_more
             or any(
                 s is not None and not s.finalize_sent
                 and ((s.primed and s.staged >= shift) or s.audio_queue
@@ -430,6 +554,7 @@ class EngineGroup:
                 for s in self.slots
             )
         )
+        self.total_tick_seconds += time.perf_counter() - t_tick
         return events, more
 
 
@@ -443,12 +568,20 @@ class BatchedEngine:
         self._ids = itertools.count(1)
         self._route: dict[int, tuple[int, int]] = {}  # stream_id -> (rc, slot)
 
+    def set_on_ready(self, cb) -> None:
+        """Install the readback-landed wake callback on all (current and
+        future) groups. Called from the reader threads."""
+        self._on_ready = cb
+        for g in self.groups.values():
+            g.on_ready = cb
+
     def start_stream(self, right_context: int = 0, lang: str | None = None) -> int:
         rc = int(right_context)
         if rc not in self.groups:
             self.groups[rc] = EngineGroup(
                 self.model, self.model.cache_config(rc), self.batch
             )
+            self.groups[rc].on_ready = getattr(self, "_on_ready", None)
         group = self.groups[rc]
         prompt_index = self.model.default_prompt_index
         if lang:
@@ -515,6 +648,9 @@ class BatchedEngine:
                 "audio_seconds": round(g.total_audio_seconds, 2),
                 "step_seconds": round(g.total_step_seconds, 3),
                 "transfer_seconds": round(g.total_transfer_seconds, 3),
+                "upload_seconds": round(g.total_upload_seconds, 3),
+                "tick_seconds": round(g.total_tick_seconds, 3),
+                "dispatch_seconds": round(g.total_dispatch_seconds, 3),
                 "rtf": round(rtf, 5),
             }
             if PHASE_TIMERS:

@@ -293,3 +293,39 @@ def test_engine_phase_timers(monkeypatch):
     assert g.total_decoder_seconds > 0
     stats = engine.stats()
     assert "encoder_seconds" in stats["groups"][0]
+
+
+def test_engine_end_on_chunk_boundary_keeps_final_text():
+    """A stream whose audio is an exact multiple of shift_samples has no
+    finalize chunk: its 'ended' event must ride the readback FIFO behind the
+    last steady chunk's tokens (a direct 'ended' used to release the slot
+    while the final text was still in flight, dropping it)."""
+    model, hp = build_model()
+    cfg = model.cache_config(0)
+    # exact multiple of the per-chunk consumption, plus the priming samples
+    from nemotron_tpu.streaming.engine import PRIME_SAMPLES
+
+    n = PRIME_SAMPLES + 6 * cfg.shift_samples
+    audio = make_audio(n, seed=3)
+
+    want_session = StreamSession(model, 0)
+    want_session.process_incremental(audio)
+    want = want_session.transcript  # no finalize: steady chunks only
+
+    engine = BatchedEngine(model, batch_per_group=2)
+    sid = engine.start_stream(0)
+    engine.push_audio(sid, audio)
+    engine.end_stream(sid)
+
+    events = []
+    for _ in range(100):
+        ev, more = engine.tick()
+        events.extend(ev)
+        if not more and any(e.kind == "ended" for e in events):
+            break
+    kinds = [e.kind for e in events]
+    assert "ended" in kinds
+    # every text event precedes the ended event
+    assert kinds.index("ended") == len(kinds) - 1
+    got = "".join(e.text for e in events)
+    assert got == want
