@@ -149,35 +149,41 @@ class ASRModel:
 
         return fn
 
-    @functools.lru_cache(maxsize=64)
+    @functools.lru_cache(maxsize=128)
     def _fused_tick_packed_fn(self, cfg: CacheConfig, batch: int,
-                              all_active: bool, phase: int):
-        from .models.asr import fused_serve_tick
+                              all_active: bool, phase: int, k: int):
+        from .models.asr import fused_serve_tick, fused_serve_tick_multi
 
         hp = self.hp
         shift = cfg.shift_samples
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def fn(params, state, packed):
-            # packed [B, shift+3] int16: audio | n_valid | prompt_idx | active
+            # packed [B, k*shift+3] int16: audio | n_valid | prompt | active
             # — ONE host->device transfer per tick instead of four (each
             # upload through a tunneled TPU costs a full round-trip)
-            audio = packed[:, :shift]
-            n_valid = packed[:, shift].astype(jnp.int32)
-            prompt = packed[:, shift + 1].astype(jnp.int32)
-            act = packed[:, shift + 2] != 0
-            return fused_serve_tick(
-                params, state, audio, n_valid,
-                None if all_active else act,
-                prompt if hp.num_prompts > 0 else None, hp=hp, cfg=cfg,
-                phase=phase,
+            audio = packed[:, : k * shift]
+            n_valid = packed[:, k * shift].astype(jnp.int32)
+            prompt = packed[:, k * shift + 1].astype(jnp.int32)
+            act = packed[:, k * shift + 2] != 0
+            prompt_arg = prompt if hp.num_prompts > 0 else None
+            if k == 1:
+                return fused_serve_tick(
+                    params, state, audio, n_valid,
+                    None if all_active else act,
+                    prompt_arg, hp=hp, cfg=cfg, phase=phase,
+                )
+            # backlog micro-batching: k chunks per dispatch (all-active only)
+            return fused_serve_tick_multi(
+                params, state, audio, n_valid, prompt_arg,
+                hp=hp, cfg=cfg, k=k, phase=phase,
             )
 
         return fn
 
     @staticmethod
     def pack_tick_inputs(audio_block, n_valid, prompt_idx, active):
-        """Host-side packing for fused_tick_packed: [B, shift+3] int16."""
+        """Host-side packing for fused_tick_packed: [B, k*shift+3] int16."""
         import numpy as np
 
         b = audio_block.shape[0]
@@ -188,12 +194,16 @@ class ASRModel:
         return np.concatenate([audio_block, cols], axis=1)
 
     def fused_tick_packed(self, cfg, state, packed_dev, all_active: bool,
-                          phase: int = 0):
+                          phase: int = 0, k: int = 1):
         """fused_tick consuming a pre-uploaded packed input (see
         pack_tick_inputs); lets the caller overlap the upload with other
-        work."""
+        work. k > 1 (all-active only) advances every stream by k chunks in
+        one program; the caller's phase then advances by k mod n_phases with
+        wrap compaction already done on device."""
         b = packed_dev.shape[0]
-        fn = self._fused_tick_packed_fn(cfg, b, all_active, phase)
+        if k > 1 and not all_active:
+            raise ValueError("multi-chunk ticks are all-active only")
+        fn = self._fused_tick_packed_fn(cfg, b, all_active, phase, k)
         return fn(self.params, state, packed_dev)
 
     def fused_tick(self, cfg, state, audio_block, n_valid, active,

@@ -227,6 +227,48 @@ def fused_serve_tick(
     return decode_tick(params, new_state, enc, n_valid, active, hp=hp)
 
 
+def fused_serve_tick_multi(
+    params,
+    state: StreamState,
+    audio_blocks,
+    n_valid,
+    prompt_idx=None,
+    *,
+    hp: Hparams,
+    cfg: CacheConfig,
+    k: int,
+    phase: int = 0,
+):
+    """k sequential all-active fused ticks in ONE device program (backlog
+    micro-batching): when every live stream has >= k chunks of audio staged
+    (clients pushing faster than real time, catch-up after a stall, batch
+    jobs), one dispatch advances everyone by k chunks — k x the audio per
+    tunnel round-trip. Slack-buffer phase wraps (compaction) are handled
+    inside; the caller's new phase is (phase + k) % n_phases.
+
+    audio_blocks: [B, k * shift_samples]; returns tokens [B, k*chunk_len, S].
+    """
+    from .encoder import compact_cache
+
+    toks = []
+    p = phase
+    for i in range(k):
+        shift = cfg.shift_samples
+        block = jax.lax.slice_in_dim(audio_blocks, i * shift, (i + 1) * shift,
+                                     axis=1)
+        state, t = fused_serve_tick(
+            params, state, block, n_valid, None, prompt_idx,
+            hp=hp, cfg=cfg, phase=p,
+        )
+        toks.append(t)
+        p += 1
+        if p >= cfg.n_phases:
+            k2, v2 = compact_cache(cfg, hp, state.k_cache, state.v_cache)
+            state = dataclasses.replace(state, k_cache=k2, v_cache=v2)
+            p = 0
+    return state, jnp.concatenate(toks, axis=1)
+
+
 def transcribe_batch(params, mel, *, hp: Hparams, prompt_idx=None, n_frames=None,
                      dec_state=None):
     """Offline path: mel [B, T, n_mels] -> (tokens [B, T', S], dec_state').

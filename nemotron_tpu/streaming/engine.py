@@ -42,6 +42,13 @@ PHASE_TIMERS = os.environ.get("NEMOTRON_TPU_PHASE_TIMERS", "") == "1"
 # latency grows by depth*tick_interval; throughput stops being RTT-bound).
 READBACK_DEPTH = max(1, int(os.environ.get("NEMOTRON_TPU_READBACK_DEPTH", "2")))
 
+# Backlog micro-batching: when every slot is occupied, steady, and has this
+# many chunks staged, one dispatch advances all streams by this many chunks
+# (amortizes the per-tick tunnel round-trips). 1 disables. Real-time-paced
+# clients never stage more than one chunk, so live latency is unaffected.
+MAX_TICK_CHUNKS = max(1, int(os.environ.get("NEMOTRON_TPU_MAX_TICK_CHUNKS",
+                                            "4")))
+
 from ..config import CacheConfig
 from ..streaming.state import PP_TAIL_LEN, reset_slots
 
@@ -409,11 +416,12 @@ class EngineGroup:
         self._drain_queues()
         self._prime_new_slots()
 
-        block = np.zeros((b, shift), dtype=np.int16)
         n_valid = np.zeros(b, dtype=np.int32)
         active = np.zeros(b, dtype=bool)
         prompt_idx = np.zeros(b, dtype=np.int32)
+        ready = np.zeros(b, dtype=bool)
         finalizing: set[int] = set()
+        fin_nv: dict[int, int] = {}
         ended_now: list[tuple[int, int]] = []  # (slot idx, stream_id)
 
         for i, slot in enumerate(self.slots):
@@ -421,10 +429,7 @@ class EngineGroup:
                 continue
             prompt_idx[i] = max(slot.prompt_index, 0)
             if slot.primed and slot.staged >= shift:
-                block[i] = slot.take(shift)
-                n_valid[i] = cfg.valid_out_len
-                active[i] = True
-                slot.steps += 1
+                ready[i] = True
             elif slot.ending and not slot.audio_queue:
                 # (audio still in the cross-thread queue drains next tick)
                 # leftover frames beyond the steady chunks already dispatched
@@ -432,23 +437,46 @@ class EngineGroup:
                         - cfg.shift_mel_frames * slot.steps)
                 nv = left // cfg.subsampling_factor if left > 0 else 0
                 if nv > 0:
-                    block[i] = slot.take(shift)  # zero-padded partial block
-                    n_valid[i] = nv
-                    active[i] = True
-                    finalizing.add(i)
-                    # mark dispatched so this slot cannot re-enter the ending
-                    # branch next tick (it would double-release via ended_now)
-                    slot.finalize_sent = True
+                    fin_nv[i] = nv
                 else:
                     slot.finalize_sent = True
                     ended_now.append((i, slot.stream_id))
+
+        # backlog micro-batching: when EVERY slot is occupied, steady and has
+        # >= MAX_TICK_CHUNKS chunks staged (clients ahead of real time /
+        # catch-up), one dispatch advances everyone by k chunks — k x the
+        # audio per tunnel round-trip. Paced real-time clients never trigger
+        # this (they stage exactly one chunk per interval).
+        k = 1
+        if (MAX_TICK_CHUNKS > 1 and not PHASE_TIMERS and not fin_nv
+                and not ended_now and bool(ready.all())):
+            min_chunks = min(s.staged // shift for s in self.slots)
+            if min_chunks >= MAX_TICK_CHUNKS:
+                k = MAX_TICK_CHUNKS
+
+        block = np.zeros((b, k * shift), dtype=np.int16)
+        for i in np.nonzero(ready)[0]:
+            slot = self.slots[i]
+            block[i] = slot.take(k * shift)
+            n_valid[i] = cfg.valid_out_len
+            active[i] = True
+            slot.steps += k
+        for i, nv in fin_nv.items():
+            slot = self.slots[i]
+            block[i, :shift] = slot.take(shift)  # zero-padded partial block
+            n_valid[i] = nv
+            active[i] = True
+            finalizing.add(i)
+            # mark dispatched so this slot cannot re-enter the ending
+            # branch next tick (it would double-release via ended_now)
+            slot.finalize_sent = True
 
         if active.any():
             t0 = time.perf_counter()
             self.total_steps += 1
             n_act = int(active.sum())
-            self.total_chunks += n_act
-            self.total_audio_seconds += n_act * shift / cfg.sample_rate
+            self.total_chunks += n_act * k
+            self.total_audio_seconds += n_act * k * shift / cfg.sample_rate
             frame_base = self.frame_offsets.copy()
             all_active = bool(active.all())
             if not all_active and self.phase != 0:
@@ -499,7 +527,7 @@ class EngineGroup:
                 t_disp = time.perf_counter()
                 self.state, tokens = self.model.fused_tick_packed(
                     self.cfg, self.state, packed_dev, all_active,
-                    phase=self.phase,
+                    phase=self.phase, k=k,
                 )
                 self.total_dispatch_seconds += time.perf_counter() - t_disp
             try:  # start the device->host copy now; collected next tick
@@ -509,11 +537,16 @@ class EngineGroup:
             if all_active:
                 # fast path appended at the phase offset; gated ticks are
                 # phase-stationary so paused slots stay aligned
-                self.phase += 1
-                if self.phase >= self.cfg.n_phases:
-                    self.state = self.model.compact_state(self.cfg, self.state)
-                    self.phase = 0
-            self.frame_offsets[active] += n_valid[active]
+                if k > 1:
+                    # wrap compaction already ran inside the k-chunk program
+                    self.phase = (self.phase + k) % self.cfg.n_phases
+                else:
+                    self.phase += 1
+                    if self.phase >= self.cfg.n_phases:
+                        self.state = self.model.compact_state(
+                            self.cfg, self.state)
+                        self.phase = 0
+            self.frame_offsets[active] += k * n_valid[active]
             self._enqueue_pending(_Pending(
                 kind="tokens", tokens_dev=tokens, active=active,
                 n_valid=n_valid, finalizing=finalizing,

@@ -329,3 +329,44 @@ def test_engine_end_on_chunk_boundary_keeps_final_text():
     assert kinds.index("ended") == len(kinds) - 1
     got = "".join(e.text for e in events)
     assert got == want
+
+
+def test_engine_backlog_multichunk_matches_sessions():
+    """With every slot occupied and deeply backlogged, the engine dispatches
+    multi-chunk ticks (MAX_TICK_CHUNKS); transcripts must stay identical to
+    independent single-stream sessions."""
+    import nemotron_tpu.streaming.engine as eng
+
+    assert eng.MAX_TICK_CHUNKS > 1  # default 4; env can disable
+    model, hp = build_model()
+    audios = {i: make_audio(16000, seed=20 + i) for i in range(2)}
+
+    want = {}
+    for i, audio in audios.items():
+        s = StreamSession(model, 0)
+        s.process_incremental(audio)
+        s.finalize()
+        want[i] = s.transcript
+
+    engine = BatchedEngine(model, batch_per_group=2)  # both slots occupied
+    sids = {}
+    for i, audio in audios.items():
+        sid = engine.start_stream(0)
+        sids[i] = sid
+        engine.push_audio(sid, audio)  # entire second of audio at once
+        engine.end_stream(sid)
+
+    texts = {sid: "" for sid in sids.values()}
+    done = set()
+    for _ in range(200):
+        events, more = engine.tick()
+        for e in events:
+            texts[e.stream_id] += e.text
+            if e.kind == "ended":
+                done.add(e.stream_id)
+        if len(done) == len(sids) and not more:
+            break
+    multi = engine.groups[0].total_chunks > engine.groups[0].total_steps * 1.5
+    assert multi, "backlog did not engage multi-chunk ticks"
+    for i, sid in sids.items():
+        assert texts[sid] == want[i], f"stream {i}: {texts[sid]!r} != {want[i]!r}"
