@@ -49,6 +49,13 @@ READBACK_DEPTH = max(1, int(os.environ.get("NEMOTRON_TPU_READBACK_DEPTH", "2")))
 MAX_TICK_CHUNKS = max(1, int(os.environ.get("NEMOTRON_TPU_MAX_TICK_CHUNKS",
                                             "4")))
 
+# The axon tunnel's runtime is NOT safe under concurrent device calls from
+# multiple threads: a fetch racing a dispatch/upload can hang forever
+# (observed as a reader-thread np.asarray stuck >90 s while the tick thread
+# dispatched). Every device interaction in the engine takes this lock; host
+# work (staging, token scatter, event assembly) still overlaps.
+DEVICE_LOCK = threading.RLock()
+
 from ..config import CacheConfig
 from ..streaming.state import PP_TAIL_LEN, reset_slots
 
@@ -63,10 +70,10 @@ PREEMPH = 0.97
 class _Pending:
     """One entry of the FIFO readback queue.
 
-    kind "tokens": a dispatched step's token buffer. The reader thread turns
-    `tokens_dev` into the host `result` array (absorbing the tunnel RTT off
-    the tick thread); the tick thread scatters it once ready — scatter and
-    event emission stay on the tick thread, so ordering is deterministic.
+    kind "tokens": a dispatched step's token buffer, fetched and scattered on
+    the tick thread after a newer step has been dispatched (the fetch is then
+    a pure tunnel round-trip — see _drain_pending). Scatter and event
+    emission stay on the tick thread, so ordering is deterministic.
 
     kind "ended": an end-of-stream sentinel. A stream that ends exactly on a
     chunk boundary has no finalize chunk, but its last steady chunk's tokens
@@ -78,6 +85,8 @@ class _Pending:
     tokens_dev: object = None
     result: object = None
     fetching: bool = False
+    error: bool = False
+    force: bool = False  # fetch now even if it's the newest step
     active: object = None
     n_valid: object = None
     finalizing: object = None
@@ -153,22 +162,17 @@ class EngineGroup:
         # host mirror of decode.frame_offset (avoids a device sync per tick)
         self.frame_offsets = np.zeros(batch, dtype=np.int64)
         self.phase = 0  # slack-buffer phase; advances on all-active ticks
-        # pipelined token readbacks: FIFO of _Pending entries. A dedicated
-        # reader thread converts each entry's device buffer to a host array
-        # (on axon, is_ready()/copy_to_host_async are unavailable and every
-        # fetch costs a full ~25 ms tunnel round-trip — paying it on the tick
-        # thread serialized readback with compute and capped the whole server
-        # at ~RTT per tick). The tick thread scatters entries whose result has
-        # landed (or blocks once an entry is READBACK_DEPTH ticks old).
+        # pipelined token readbacks: FIFO of _Pending entries, fetched and
+        # scattered on the tick thread AFTER the next step's dispatch (see
+        # _drain_pending). On axon, is_ready()/copy_to_host_async are
+        # unavailable, every fetch costs a full ~25 ms round-trip, and
+        # concurrent device calls from multiple threads can hang — so fetches
+        # stay on the tick thread, ordered dispatch-first.
         self._pending_q: collections.deque[_Pending] = collections.deque()
         self._pending_cond = threading.Condition()
-        # called from the reader thread when a result lands (the server wires
-        # this to wake its event loop so drains don't wait for the next tick)
+        # optional wake callback for the server loop (kept for API compat;
+        # drains happen on tick cadence)
         self.on_ready = None
-        self._reader = threading.Thread(
-            target=self._reader_loop, daemon=True,
-            name=f"engine-readback-rc{cfg.att_right_context}")
-        self._reader.start()
         # single-worker pool for the per-tick packed input upload (overlapped
         # with readback scatter; see tick)
         self._uploader = concurrent.futures.ThreadPoolExecutor(
@@ -242,7 +246,8 @@ class EngineGroup:
             self._pending_resets = []
         mask = np.zeros(self.batch, dtype=bool)
         mask[resets] = True
-        self.state = reset_slots(self.state, jnp.asarray(mask), self.hp)
+        with DEVICE_LOCK:
+            self.state = reset_slots(self.state, jnp.asarray(mask), self.hp)
         self.frame_offsets[resets] = 0
 
     def _drain_queues(self) -> None:
@@ -291,7 +296,8 @@ class EngineGroup:
             mask[i] = True
             s.primed = True
         if tails is not None:
-            self.state = self.model.prime_frontend(self.state, mask, tails,
+            with DEVICE_LOCK:
+                self.state = self.model.prime_frontend(self.state, mask, tails,
                                                    lasts)
 
     def drain_consumed(self) -> dict[int, int]:
@@ -309,70 +315,74 @@ class EngineGroup:
             return 0
         return (avail - 512 + 160) // 160
 
-    def _reader_loop(self) -> None:
-        """Readback thread: convert queued token buffers to host arrays, FIFO.
-        Runs for the lifetime of the group (daemon)."""
-        while True:
-            entry = None
-            with self._pending_cond:
-                while entry is None:
-                    for e in self._pending_q:
-                        if (e.kind == "tokens" and e.result is None
-                                and not e.fetching):
-                            e.fetching = True
-                            entry = e
-                            break
-                    if entry is None:
-                        self._pending_cond.wait()
-            arr = np.asarray(entry.tokens_dev)  # the blocking tunnel RTT
-            with self._pending_cond:
-                entry.result = arr
-                entry.tokens_dev = None
-                self._pending_cond.notify_all()
-            cb = self.on_ready
-            if cb is not None:
-                try:
-                    cb()
-                except Exception:
-                    pass
-
     def _enqueue_pending(self, entry: _Pending) -> None:
         with self._pending_cond:
             self._pending_q.append(entry)
             self._pending_cond.notify_all()
 
     def _drain_pending(self, force_all: bool) -> list[Event]:
-        """Process queued readbacks FIFO: entries whose host copy has landed,
-        plus any older than READBACK_DEPTH (block on the reader). force_all
-        drains everything (idle ticks — nothing better to do than wait)."""
+        """Process queued readbacks FIFO on the tick thread.
+
+        A "tokens" entry is fetched once a NEWER step has been dispatched
+        (its execution then finished before the successor started, so the
+        fetch costs one pure tunnel round-trip and never waits on device
+        work), or when it is READBACK_DEPTH ticks old / force_all (idle
+        ticks). Fetch-after-dispatch ordering keeps the device queue full.
+        All fetches happen HERE: the axon runtime hangs under concurrent
+        device calls from multiple threads (see DEVICE_LOCK)."""
         events: list[Event] = []
         while True:
             with self._pending_cond:
                 if not self._pending_q:
                     break
                 head = self._pending_q[0]
-                if head.kind == "tokens" and head.result is None:
+                if (head.kind == "tokens" and head.result is None
+                        and not head.error):
+                    has_newer = any(e.kind == "tokens"
+                                    for e in list(self._pending_q)[1:])
                     over_depth = len(self._pending_q) > READBACK_DEPTH
-                    if not (force_all or over_depth):
+                    if not (force_all or over_depth or has_newer):
                         break
-                    t0 = time.perf_counter()
-                    while head.result is None:
-                        self._pending_cond.wait(timeout=1.0)
-                    self.total_transfer_seconds += time.perf_counter() - t0
                 self._pending_q.popleft()
             if head.kind == "ended":
                 slot = self.slots[head.slot_idx]
                 events.append(Event(head.stream_id, "ended", ""))
                 if slot is not None and slot.stream_id == head.stream_id:
                     self.release(head.slot_idx)
-            else:
-                events.extend(self._process_pending(head))
+                continue
+            if head.result is None and not head.error:
+                t0 = time.perf_counter()
+                try:
+                    with DEVICE_LOCK:
+                        head.result = np.asarray(head.tokens_dev)
+                except Exception:
+                    # a failed execution must not kill the engine; surface
+                    # the error and drop the step
+                    import traceback
+
+                    traceback.print_exc()
+                    head.error = True
+                head.tokens_dev = None
+                self.total_transfer_seconds += time.perf_counter() - t0
+            events.extend(self._process_pending(head))
         return events
 
     def _process_pending(self, pending: _Pending) -> list[Event]:
         """Scatter one step's tokens (host array produced by the reader)."""
         if pending is None:
             return []
+        if pending.result is None:  # failed execution, dropped by the reader
+            import sys
+
+            print("[engine] WARNING: dropped a failed step's tokens",
+                  file=sys.stderr)
+            events = []
+            for i in (pending.finalizing or ()):
+                slot = self.slots[i]
+                if slot is not None and slot.stream_id == pending.stream_ids[i]:
+                    events.append(Event(slot.stream_id, "ended", ""))
+                    self.release(i)
+            return events
         active = pending.active
         n_valid = pending.n_valid
         finalizing = pending.finalizing
@@ -483,11 +493,13 @@ class EngineGroup:
                 # gated ticks run at phase 0 only: move the live window
                 # (currently at self.phase) back to phase 0 so paused slots
                 # stay aligned and only one gated variant compiles
-                self.state = self.model.compact_state(
-                    self.cfg, self.state, phase=self.phase
-                )
+                with DEVICE_LOCK:
+                    self.state = self.model.compact_state(
+                        self.cfg, self.state, phase=self.phase
+                    )
                 self.phase = 0
-            active_arg = None if all_active else jnp.asarray(active)
+            with DEVICE_LOCK:
+                active_arg = None if all_active else jnp.asarray(active)
             # snapshot per-slot stream ids at dispatch time: tokens read back
             # next tick are attributed only if the slot still holds the same
             # stream (drop + reuse between dispatch and readback otherwise
@@ -499,9 +511,10 @@ class EngineGroup:
                     stream_ids[i] = s.stream_id
             if PHASE_TIMERS:
                 t_up = time.perf_counter()
-                block_dev = jnp.asarray(block)
-                n_valid_dev = jnp.asarray(n_valid)
-                prompt_dev = jnp.asarray(prompt_idx)
+                with DEVICE_LOCK:
+                    block_dev = jnp.asarray(block)
+                    n_valid_dev = jnp.asarray(n_valid)
+                    prompt_dev = jnp.asarray(prompt_idx)
                 self.total_upload_seconds += time.perf_counter() - t_up
                 t_disp = time.perf_counter()
                 self.state, tokens, t_enc, t_dec = self.model.fused_tick_profiled(
@@ -520,15 +533,21 @@ class EngineGroup:
                 packed = self.model.pack_tick_inputs(
                     block, n_valid, prompt_idx,
                     None if all_active else active)
-                fut = self._uploader.submit(jnp.asarray, packed)
+
+                def _upload(arr=packed):
+                    with DEVICE_LOCK:
+                        return jnp.asarray(arr)
+
+                fut = self._uploader.submit(_upload)
                 events.extend(self._drain_pending(force_all=False))
                 packed_dev = fut.result()
                 self.total_upload_seconds += time.perf_counter() - t_up
                 t_disp = time.perf_counter()
-                self.state, tokens = self.model.fused_tick_packed(
-                    self.cfg, self.state, packed_dev, all_active,
-                    phase=self.phase, k=k,
-                )
+                with DEVICE_LOCK:
+                    self.state, tokens = self.model.fused_tick_packed(
+                        self.cfg, self.state, packed_dev, all_active,
+                        phase=self.phase, k=k,
+                    )
                 self.total_dispatch_seconds += time.perf_counter() - t_disp
             try:  # start the device->host copy now; collected next tick
                 tokens.copy_to_host_async()
@@ -543,8 +562,9 @@ class EngineGroup:
                 else:
                     self.phase += 1
                     if self.phase >= self.cfg.n_phases:
-                        self.state = self.model.compact_state(
-                            self.cfg, self.state)
+                        with DEVICE_LOCK:
+                            self.state = self.model.compact_state(
+                                self.cfg, self.state)
                         self.phase = 0
             self.frame_offsets[active] += k * n_valid[active]
             self._enqueue_pending(_Pending(
@@ -567,17 +587,9 @@ class EngineGroup:
             events.extend(self._drain_pending(force_all=True))
 
         with self._pending_cond:
-            if not self._pending_q:
-                pending_more = False
-            elif self.on_ready is None:
-                # no wake callback (tests / direct use): keep ticking until
-                # the queue drains
-                pending_more = True
-            else:
-                # the reader's on_ready wake covers in-flight fetches; only
-                # report work the NEXT tick could actually drain now
-                head = self._pending_q[0]
-                pending_more = head.kind == "ended" or head.result is not None
+            # unfetched tails drain on idle ticks (force_all) — keep ticking
+            # while anything is pending
+            pending_more = bool(self._pending_q)
         more = (
             pending_more
             or any(
