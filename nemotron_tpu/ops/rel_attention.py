@@ -36,6 +36,11 @@ VPU_ATTN = os.environ.get("NEMOTRON_TPU_VPU_ATTN", "0") == "1"
 # NEMOTRON_TPU_T1_MXU_ATTN=1 restores the dot formulation for comparison.
 T1_VPU_ATTN = os.environ.get("NEMOTRON_TPU_T1_MXU_ATTN", "0") != "1"
 
+# Fused Pallas variant of the T=1 attention core (scores+softmax+context in
+# one kernel; see ops/attn_pallas.py). Opt-in until measured faster than the
+# XLA multiply-reduce path on the target hardware.
+PALLAS_T1_ATTN = os.environ.get("NEMOTRON_TPU_PALLAS_ATTN", "0") == "1"
+
 
 def _t1_scores(q_uh, kc, kn_h):
     """[B,H,1,Dh] queries vs [B,H,S,Dh] cache + [B,H,1,Dh] new frame ->
@@ -144,7 +149,18 @@ def rel_pos_mha_fullbuf(
 
     pos_raw = jnp.einsum("bthd,phd->bhtp", qh + bias_v[None, None], ph)
     pos_sc = jnp.einsum("bhtp,tpk->bhtk", pos_raw, shift_onehot)
-    if T == 1 and T1_VPU_ATTN:
+    if T == 1 and PALLAS_T1_ATTN:
+        from ..audio.frontend import _pallas_interpret
+        from .attn_pallas import t1_attention_core
+
+        pm = (pos_sc.astype(jnp.float32) * scale)[:, :, 0, :] \
+            + attn_mask.astype(jnp.float32)[:, None, :]
+        ctx = t1_attention_core(
+            q_u[:, :, 0, :], kn_h[:, :, 0, :], vn_h[:, :, 0, :], pm,
+            k_buf, v_buf,
+            interpret=_pallas_interpret(),
+        )[:, :, None, :].astype(x.dtype)
+    elif T == 1 and T1_VPU_ATTN:
         content = _t1_scores(q_u, k_buf, kn_h)
         scores = (content + pos_sc) * scale + attn_mask[:, None, None, :]
         weights = nn.softmax(scores.astype(jnp.float32), axis=-1)

@@ -287,3 +287,65 @@ def test_rel_shift_large_qlen(qlen, klen):
     for b in range(2):
         want = R.rel_shift(raw[b], klen)
         assert mx(got[b], want) < 1e-6
+
+
+def test_pallas_t1_attention_core_parity():
+    """Fused Pallas T=1 attention core == the XLA multiply-reduce path
+    (interpret mode on CPU)."""
+    import jax.numpy as jnp
+    from nemotron_tpu.ops.attn_pallas import t1_attention_core
+    from nemotron_tpu.ops import rel_attention as RA
+
+    rng = np.random.default_rng(0)
+    B, H, Dh, S = 4, 2, 8, 11
+    q = rng.standard_normal((B, H, 1, Dh)).astype(np.float32)
+    kn = rng.standard_normal((B, H, 1, Dh)).astype(np.float32)
+    vn = rng.standard_normal((B, H, 1, Dh)).astype(np.float32)
+    kb = rng.standard_normal((B, H, S, Dh)).astype(np.float32)
+    vb = rng.standard_normal((B, H, S, Dh)).astype(np.float32)
+    pos_sc = rng.standard_normal((B, H, 1, S + 1)).astype(np.float32)
+    mask = np.where(rng.uniform(size=(B, S + 1)) < 0.2, -1e9, 0.0
+                    ).astype(np.float32)
+    scale = 1.0 / np.sqrt(Dh)
+
+    # XLA reference path
+    content = RA._t1_scores(jnp.asarray(q), jnp.asarray(kb), jnp.asarray(kn))
+    scores = (content + pos_sc) * scale + mask[:, None, None, :]
+    import jax.nn as jnn
+    w = jnn.softmax(scores.astype(jnp.float32), axis=-1)
+    want = RA._t1_context(w, jnp.asarray(vb), jnp.asarray(vn))
+
+    pm = pos_sc[:, :, 0, :] * scale + mask[:, None, :]
+    got = t1_attention_core(
+        jnp.asarray(q[:, :, 0]), jnp.asarray(kn[:, :, 0]),
+        jnp.asarray(vn[:, :, 0]), jnp.asarray(pm),
+        jnp.asarray(kb), jnp.asarray(vb), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want[:, :, 0]),
+                               atol=2e-5)
+
+
+def test_pallas_t1_attention_in_stream_encoder(monkeypatch):
+    """Full streaming encoder with the Pallas attention core == default."""
+    from nemotron_tpu.models.encoder import stream_encode_step
+    from nemotron_tpu.ops import rel_attention as RA
+    from nemotron_tpu.streaming.state import init_stream_state
+
+    from helpers import tiny_cfg
+
+    CFG = tiny_cfg(HP)
+    B = 2
+    state = init_stream_state(B, HP, CFG)
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal(
+        (B, CFG.chunk_mel_frames, HP.n_mels)).astype(np.float32)
+
+    outs = {}
+    for use_pallas in (False, True):
+        monkeypatch.setattr(RA, "PALLAS_T1_ATTN", use_pallas)
+        k, v, c, valid = (state.k_cache, state.v_cache, state.conv_cache,
+                          state.cache_valid)
+        e, k2, v2, c2, valid2 = stream_encode_step(
+            PARAMS, HP, CFG, jnp.asarray(mel), k, v, c, valid, phase=1)
+        outs[use_pallas] = (np.asarray(e), np.asarray(k2), np.asarray(v2))
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(a, b, atol=5e-5)
