@@ -193,6 +193,8 @@ class EngineGroup:
         self.total_upload_seconds = 0.0    # host->device input staging
         self.total_tick_seconds = 0.0      # whole tick() incl. staging
         self.total_dispatch_seconds = 0.0  # jitted-call dispatch (async)
+        self.total_pack_seconds = 0.0      # host input packing (numpy)
+        self.total_scatter_seconds = 0.0   # token scatter + text decode
         self.total_encoder_seconds = 0.0   # PHASE_TIMERS mode only
         self.total_decoder_seconds = 0.0   # PHASE_TIMERS mode only
         self.total_audio_seconds = 0.0
@@ -364,7 +366,9 @@ class EngineGroup:
                     head.error = True
                 head.tokens_dev = None
                 self.total_transfer_seconds += time.perf_counter() - t0
+            t_sc = time.perf_counter()
             events.extend(self._process_pending(head))
+            self.total_scatter_seconds += time.perf_counter() - t_sc
         return events
 
     def _process_pending(self, pending: _Pending) -> list[Event]:
@@ -529,10 +533,12 @@ class EngineGroup:
                 # ONE packed upload (audio | n_valid | prompt | active) on a
                 # helper thread, overlapped with scattering older readbacks —
                 # through the tunnel each upload costs a full round-trip
-                t_up = time.perf_counter()
+                t_pack = time.perf_counter()
                 packed = self.model.pack_tick_inputs(
                     block, n_valid, prompt_idx,
                     None if all_active else active)
+                self.total_pack_seconds += time.perf_counter() - t_pack
+                t_up = time.perf_counter()
 
                 def _upload(arr=packed):
                     with DEVICE_LOCK:
@@ -695,6 +701,8 @@ class BatchedEngine:
                 "transfer_seconds": round(g.total_transfer_seconds, 3),
                 "upload_seconds": round(g.total_upload_seconds, 3),
                 "tick_seconds": round(g.total_tick_seconds, 3),
+                "pack_seconds": round(g.total_pack_seconds, 3),
+                "scatter_seconds": round(g.total_scatter_seconds, 3),
                 "dispatch_seconds": round(g.total_dispatch_seconds, 3),
                 "rtf": round(rtf, 5),
             }

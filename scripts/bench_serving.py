@@ -179,7 +179,8 @@ async def run(n_streams: int, secs: float, batch: int, chunk_ms: int,
         delta = {k: round(g1[k] - g0.get(k, 0), 3)
                  for k in ("ticks", "steps", "chunks", "step_seconds",
                            "transfer_seconds", "upload_seconds",
-                           "dispatch_seconds", "tick_seconds")}
+                           "dispatch_seconds", "tick_seconds",
+                           "pack_seconds", "scatter_seconds")}
         n = max(1, delta["steps"])
         print(f"[timed pass rc={rc}] {delta}  per-step: "
               f"step={1e3 * delta['step_seconds'] / n:.1f}ms "
@@ -187,6 +188,8 @@ async def run(n_streams: int, secs: float, batch: int, chunk_ms: int,
               f"dispatch={1e3 * delta['dispatch_seconds'] / n:.1f}ms "
               f"transfer={1e3 * delta['transfer_seconds'] / n:.1f}ms "
               f"tick={1e3 * delta['tick_seconds'] / max(1, delta['ticks']):.1f}ms "
+              f"pack={1e3 * delta['pack_seconds'] / n:.1f}ms "
+              f"scatter={1e3 * delta['scatter_seconds'] / n:.1f}ms "
               f"wall={1e3 * wall / n:.1f}ms", file=sys.stderr)
 
     rt = audio / wall
