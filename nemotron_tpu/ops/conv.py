@@ -107,8 +107,13 @@ def depthwise_causal_conv1d(x, dw_w, cache=None):
     if cache is None:
         cache = jnp.zeros((x.shape[0], k - 1, x.shape[2]), dtype=x.dtype)
     padded = jnp.concatenate([cache, x], axis=1)  # [B, K-1+T, D]
-    y = padded[:, 0:t, :] * dw_w[0]
-    for i in range(1, k):
-        y = y + padded[:, i : i + t, :] * dw_w[i]
+    if t == 1:
+        # streaming 80 ms mode: the K shifted windows collapse to ONE
+        # contraction over the padded buffer (K ops -> 1)
+        y = jnp.einsum("bkd,kd->bd", padded, dw_w)[:, None, :]
+    else:
+        y = padded[:, 0:t, :] * dw_w[0]
+        for i in range(1, k):
+            y = y + padded[:, i : i + t, :] * dw_w[i]
     new_cache = padded[:, t:, :]
     return y, new_cache
