@@ -35,14 +35,14 @@ BASELINE_STREAMS = 1.0 / 0.064
 
 
 def run(batch_sizes=(256, 384, 512, 768), dtype=jnp.bfloat16, steps=20,
-        int8: bool = False):
-    from nemotron_tpu.config import CacheConfig, Hparams, LatencyMode
+        int8: bool = False, right_context: int = 0):
+    from nemotron_tpu.config import CacheConfig, Hparams
     from nemotron_tpu.models.asr import fused_serve_tick
     from nemotron_tpu.params import quantize_encoder_layers, random_params
     from nemotron_tpu.streaming.state import init_stream_state
 
     hp = Hparams()
-    cfg = CacheConfig.for_mode(LatencyMode.PURE_CAUSAL, hp)
+    cfg = CacheConfig.for_mode(right_context, hp)
     dev = jax.devices()[0]
     print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
 
@@ -137,8 +137,9 @@ def run(batch_sizes=(256, 384, 512, 768), dtype=jnp.bfloat16, steps=20,
             np.asarray(tokens)
             step_time = (time.time() - t0) / steps
 
-            streams = B * 0.080 / step_time
-            rtf = step_time / (B * 0.080)
+            audio_s = cfg.shift_samples / cfg.sample_rate  # 0.080*(1+R)
+            streams = B * audio_s / step_time
+            rtf = step_time / (B * audio_s)
             print(
                 f"B={B}: step={step_time * 1e3:.2f} ms  compile={compile_s:.1f}s  "
                 f"per-stream RTF={rtf:.5f}  -> {streams:.0f} rt streams",
