@@ -84,9 +84,7 @@ class _Pending:
     kind: str
     tokens_dev: object = None
     result: object = None
-    fetching: bool = False
     error: bool = False
-    force: bool = False  # fetch now even if it's the newest step
     active: object = None
     n_valid: object = None
     finalizing: object = None
