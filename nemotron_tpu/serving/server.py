@@ -154,8 +154,10 @@ class StreamServer:
     def _engine_thread(self, loop: asyncio.AbstractEventLoop,
                        out_q: asyncio.Queue) -> None:
         """Tick loop on a dedicated thread: runs back-to-back ticks while work
-        exists, independent of event-loop latency. Events + consumed-sample
-        batches are posted to the loop for delivery."""
+        exists, independent of event-loop latency (wakeups come from the
+        protocol handlers via self.wake plus a 50 ms poll for readback
+        tails). Events + consumed-sample batches are posted to the loop for
+        delivery."""
         try:
             while not self._stop:
                 self.wake.wait(timeout=0.05)
@@ -176,13 +178,17 @@ class StreamServer:
 
             traceback.print_exc()
             self._stop = True
+            # fail-stop: without this sentinel the loop would keep accepting
+            # connections and buffering PCM forever with no transcription
+            try:
+                loop.call_soon_threadsafe(out_q.put_nowait, None)
+            except RuntimeError:
+                pass
             raise
 
     async def engine_loop(self) -> None:
         loop = asyncio.get_running_loop()
         out_q: asyncio.Queue = asyncio.Queue()
-        # wake the engine thread the moment a pipelined token readback lands
-        self.engine.set_on_ready(self.wake.set)
         thread = threading.Thread(
             target=self._engine_thread, args=(loop, out_q),
             daemon=True, name="engine-tick")
@@ -190,7 +196,11 @@ class StreamServer:
         last_stats = 0.0
         try:
             while True:
-                events, consumed = await out_q.get()
+                item = await out_q.get()
+                if item is None:  # engine thread died — shut the server down
+                    raise RuntimeError(
+                        "engine thread died; shutting the server down")
+                events, consumed = item
                 # release budget as the engine consumes queued PCM (reference
                 # semantics: nemo-server.cpp:116-126 releases per DATA event,
                 # not on stream end — long-lived streams must not accumulate)
@@ -255,7 +265,16 @@ class StreamServer:
             where = f"{host or '127.0.0.1'}:{port or 8090}"
         print(f"listening on {where}", file=sys.stderr)
         async with server:
-            await server.serve_forever()
+            # fail-stop: a dead engine must take the listener down with it
+            # (otherwise clients keep connecting and queueing PCM against a
+            # server that will never transcribe)
+            serve_task = asyncio.create_task(server.serve_forever())
+            done, _ = await asyncio.wait(
+                {serve_task, self._engine_task},
+                return_when=asyncio.FIRST_COMPLETED)
+            if self._engine_task in done:
+                serve_task.cancel()
+                self._engine_task.result()  # re-raise the engine failure
 
 
 def main(argv=None) -> int:

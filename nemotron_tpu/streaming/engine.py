@@ -49,6 +49,22 @@ READBACK_DEPTH = max(1, int(os.environ.get("NEMOTRON_TPU_READBACK_DEPTH", "2")))
 MAX_TICK_CHUNKS = max(1, int(os.environ.get("NEMOTRON_TPU_MAX_TICK_CHUNKS",
                                             "4")))
 
+
+def max_safe_tick_chunks(batch: int) -> int:
+    """Clamp the backlog micro-batch depth to what actually compiles.
+
+    The k-chunk fused program's compile-time HBM footprint grows with k*B
+    (XLA materializes per-chunk copies of the K/V slack buffers inside the
+    multi-chunk program): measured k=4 at B=512 needs 16.4 GB and OOMs a v5e
+    at compile time, while k=2 fits up to B=768. A server at --batch 512 with
+    backlogged clients must not dispatch a program that cannot compile."""
+    k = MAX_TICK_CHUNKS
+    if batch >= 512:
+        k = min(k, 2)
+    elif batch >= 256:
+        k = min(k, 4)
+    return max(1, k)
+
 # The axon tunnel's runtime is NOT safe under concurrent device calls from
 # multiple threads: a fetch racing a dispatch/upload can hang forever
 # (observed as a reader-thread np.asarray stuck >90 s while the tick thread
@@ -154,7 +170,11 @@ class EngineGroup:
         self.cfg = cfg
         self.batch = batch
         self.hp = model.hp
-        self.state = model.init_stream_state(batch, cfg)
+        # group creation can happen on the event-loop thread (first stream of
+        # a new latency mode) while the tick thread talks to the device — the
+        # init is itself a device call, so it must honor the device lock
+        with DEVICE_LOCK:
+            self.state = model.init_stream_state(batch, cfg)
         self.slots: list[_Slot | None] = [None] * batch
         self.n_active_streams = 0
         # host mirror of decode.frame_offset (avoids a device sync per tick)
@@ -168,9 +188,6 @@ class EngineGroup:
         # stay on the tick thread, ordered dispatch-first.
         self._pending_q: collections.deque[_Pending] = collections.deque()
         self._pending_cond = threading.Condition()
-        # optional wake callback for the server loop (kept for API compat;
-        # drains happen on tick cadence)
-        self.on_ready = None
         # single-worker pool for the per-tick packed input upload (overlapped
         # with readback scatter; see tick)
         self._uploader = concurrent.futures.ThreadPoolExecutor(
@@ -460,11 +477,12 @@ class EngineGroup:
         # audio per tunnel round-trip. Paced real-time clients never trigger
         # this (they stage exactly one chunk per interval).
         k = 1
-        if (MAX_TICK_CHUNKS > 1 and not PHASE_TIMERS and not fin_nv
+        k_cap = max_safe_tick_chunks(b)
+        if (k_cap > 1 and not PHASE_TIMERS and not fin_nv
                 and not ended_now and bool(ready.all())):
             min_chunks = min(s.staged // shift for s in self.slots)
-            if min_chunks >= MAX_TICK_CHUNKS:
-                k = MAX_TICK_CHUNKS
+            if min_chunks >= k_cap:
+                k = k_cap
 
         block = np.zeros((b, k * shift), dtype=np.int16)
         for i in np.nonzero(ready)[0]:
@@ -614,24 +632,24 @@ class BatchedEngine:
         self.model = model
         self.batch = batch_per_group
         self.groups: dict[int, EngineGroup] = {}
+        self._groups_lock = threading.Lock()
         self._ids = itertools.count(1)
         self._route: dict[int, tuple[int, int]] = {}  # stream_id -> (rc, slot)
 
-    def set_on_ready(self, cb) -> None:
-        """Install the readback-landed wake callback on all (current and
-        future) groups. Called from the reader threads."""
-        self._on_ready = cb
-        for g in self.groups.values():
-            g.on_ready = cb
-
     def start_stream(self, right_context: int = 0, lang: str | None = None) -> int:
         rc = int(right_context)
-        if rc not in self.groups:
-            self.groups[rc] = EngineGroup(
-                self.model, self.model.cache_config(rc), self.batch
-            )
-            self.groups[rc].on_ready = getattr(self, "_on_ready", None)
-        group = self.groups[rc]
+        group = self.groups.get(rc)
+        if group is None:
+            # first stream of a new latency mode: create the group under a
+            # lock (tick() iterates a snapshot, so the dict insert is safe
+            # against the engine thread)
+            with self._groups_lock:
+                group = self.groups.get(rc)
+                if group is None:
+                    group = EngineGroup(
+                        self.model, self.model.cache_config(rc), self.batch
+                    )
+                    self.groups[rc] = group
         prompt_index = self.model.default_prompt_index
         if lang:
             idx = self.model.resolve_language(lang)
@@ -673,7 +691,7 @@ class BatchedEngine:
     def drain_consumed(self) -> dict[int, int]:
         """Per-stream samples consumed since the last drain (budget release)."""
         out: dict[int, int] = {}
-        for g in self.groups.values():
+        for g in list(self.groups.values()):
             for sid, n in g.drain_consumed().items():
                 out[sid] = out.get(sid, 0) + n
         return out
@@ -686,7 +704,7 @@ class BatchedEngine:
     def stats(self) -> dict:
         """Aggregate engine observability counters (per latency group)."""
         out = {"streams": len(self._route), "groups": {}}
-        for rc, g in self.groups.items():
+        for rc, g in list(self.groups.items()):
             rtf = (g.total_step_seconds / g.total_audio_seconds
                    if g.total_audio_seconds else 0.0)
             out["groups"][rc] = {
@@ -714,7 +732,10 @@ class BatchedEngine:
     def tick(self) -> tuple[list[Event], bool]:
         events: list[Event] = []
         more = False
-        for group in self.groups.values():
+        # snapshot: start_stream (event-loop thread) may insert a new latency
+        # group mid-iteration; iterating the live dict would raise and kill
+        # the engine thread
+        for group in list(self.groups.values()):
             ev, m = group.tick()
             events.extend(ev)
             more = more or m

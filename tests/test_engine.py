@@ -370,3 +370,89 @@ def test_engine_backlog_multichunk_matches_sessions():
     assert multi, "backlog did not engage multi-chunk ticks"
     for i, sid in sids.items():
         assert texts[sid] == want[i], f"stream {i}: {texts[sid]!r} != {want[i]!r}"
+
+
+def test_engine_new_group_during_tick_iteration():
+    """start_stream (event-loop thread) may insert a new latency group while
+    the engine thread iterates groups in tick(); iterating the live dict
+    raises RuntimeError and kills the engine thread. Reproduced here
+    single-threaded: a group's tick triggers a first-seen right_context."""
+    model, hp = build_model()
+    engine = BatchedEngine(model, batch_per_group=2)
+    sid = engine.start_stream(0)
+    engine.push_audio(sid, make_audio(4000, seed=1))
+
+    group = engine.groups[0]
+    orig_tick = group.tick
+    injected = []
+
+    def tick_and_join():
+        if not injected:
+            injected.append(engine.start_stream(right_context=1))
+        return orig_tick()
+
+    group.tick = tick_and_join
+    events, more = engine.tick()  # raised RuntimeError before the snapshot fix
+    assert injected and 1 in engine.groups
+
+
+def test_engine_max_safe_tick_chunks_cap():
+    """The k-chunk fused program OOMs at compile time for k=4 at B>=512
+    (16.4 GB); the effective micro-batch depth must be capped by batch."""
+    import nemotron_tpu.streaming.engine as eng
+
+    assert eng.MAX_TICK_CHUNKS == 4  # default under test
+    assert eng.max_safe_tick_chunks(64) == 4
+    assert eng.max_safe_tick_chunks(256) == 4
+    assert eng.max_safe_tick_chunks(512) == 2
+    assert eng.max_safe_tick_chunks(768) == 2
+    assert eng.max_safe_tick_chunks(1024) == 2
+
+
+def test_engine_backlog_respects_batch_cap(monkeypatch):
+    """A fully-backlogged group must dispatch at most max_safe_tick_chunks(B)
+    chunks per step, not MAX_TICK_CHUNKS. (Simulates the B>=512 clamp on a
+    tiny batch by forcing the cap to 2 while the env default stays 4.)"""
+    import nemotron_tpu.streaming.engine as eng
+
+    monkeypatch.setattr(eng, "max_safe_tick_chunks", lambda b: 2)
+    model, hp = build_model()
+    audios = {i: make_audio(16000, seed=40 + i) for i in range(2)}
+
+    want = {}
+    for i, audio in audios.items():
+        s = StreamSession(model, 0)
+        s.process_incremental(audio)
+        s.finalize()
+        want[i] = s.transcript
+
+    engine = BatchedEngine(model, batch_per_group=2)
+    sids = {}
+    for i, audio in audios.items():
+        sid = engine.start_stream(0)
+        sids[i] = sid
+        engine.push_audio(sid, audio)
+        engine.end_stream(sid)
+
+    texts = {sid: "" for sid in sids.values()}
+    done = set()
+    group = engine.groups[0]
+    max_k = 0
+    prev_chunks = prev_steps = 0
+    for _ in range(300):
+        events, more = engine.tick()
+        if group.total_steps > prev_steps:
+            max_k = max(max_k,
+                        (group.total_chunks - prev_chunks)
+                        // (group.total_steps - prev_steps) // 2)
+            prev_chunks, prev_steps = group.total_chunks, group.total_steps
+        for e in events:
+            texts[e.stream_id] += e.text
+            if e.kind == "ended":
+                done.add(e.stream_id)
+        if len(done) == len(sids) and not more:
+            break
+    assert max_k <= 2, f"dispatched k={max_k} > capped 2"
+    assert max_k == 2, "backlog never engaged the capped micro-batching"
+    for i, sid in sids.items():
+        assert texts[sid] == want[i]

@@ -186,3 +186,23 @@ def test_server_ack_and_error_frames(model):
             server.close()
 
     asyncio.run(asyncio.wait_for(run(), timeout=60))
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_server_engine_failure_fail_stop(model):
+    """A dead engine thread must take the server down (sentinel through
+    out_q), not leave it silently accepting PCM with no transcription."""
+
+    async def run():
+        srv = StreamServer(model, batch_per_group=2)
+
+        def boom():
+            raise RuntimeError("injected engine failure")
+
+        srv.engine.tick = boom
+        task = asyncio.create_task(srv.engine_loop())
+        with pytest.raises(RuntimeError, match="engine thread died"):
+            await asyncio.wait_for(task, timeout=15)
+
+    asyncio.run(run())
