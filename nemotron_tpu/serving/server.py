@@ -292,6 +292,16 @@ def main(argv=None) -> int:
                     help="load weights as bfloat16 (half memory, TPU-native)")
     ap.add_argument("--quantized", action="store_true",
                     help="keep Q8_0 weights quantized in HBM (quarter memory)")
+    ap.add_argument("--native", action="store_true",
+                    help="GIL-free C++ ingest path (serving/native_server.py);"
+                         " same wire protocol, ~none of the Python socket"
+                         " overhead")
+    ap.add_argument("--mem-budget", type=int, default=P.DEFAULT_MEM_BUDGET,
+                    help="global queued-PCM admission budget in bytes")
+    ap.add_argument("--blank-bias", type=float, default=0.0,
+                    help="benchmark plumbing: add this to the joint blank "
+                         "logit bias (random-weight models emit ~nothing "
+                         "without it; see bench.py)")
     args = ap.parse_args(argv)
 
     from ..api import ASRModel
@@ -303,8 +313,27 @@ def main(argv=None) -> int:
     else:
         model = ASRModel.from_gguf(args.model, dtype=dtype,
                                    keep_quantized=args.quantized)
+    if args.blank_bias:
+        import dataclasses as dc
 
-    srv = StreamServer(model, batch_per_group=args.batch)
+        out_b = model.params.joint.out_b.at[model.hp.blank_id].add(
+            args.blank_bias)
+        model.params = dc.replace(
+            model.params, joint=dc.replace(model.params.joint, out_b=out_b))
+
+    if args.native:
+        from .native_server import NativeStreamServer
+
+        srv = NativeStreamServer(model, batch_per_group=args.batch,
+                                 mem_budget=args.mem_budget)
+        port = srv.start(args.host, args.port, args.unix)
+        print(f"listening on {args.unix or f'{args.host}:{port}'} (native)",
+              file=sys.stderr)
+        srv.serve_forever()
+        return 0
+
+    srv = StreamServer(model, batch_per_group=args.batch,
+                       mem_budget=args.mem_budget)
     asyncio.run(srv.serve(args.host, args.port, args.unix))
     return 0
 

@@ -163,12 +163,18 @@ class _Slot:
 
 
 class EngineGroup:
-    """All streams of one latency mode, stepped as one batch."""
+    """All streams of one latency mode, stepped as one batch.
 
-    def __init__(self, model, cfg: CacheConfig, batch: int):
+    `source` (optional) is a native ingest backend (serving/ingest.py): PCM
+    then stages in C++ rings instead of per-slot Python lists, and the tick
+    pulls it with ONE batched take_block call. The admission budget is
+    released natively at take time, so consumed_samples stays empty."""
+
+    def __init__(self, model, cfg: CacheConfig, batch: int, source=None):
         self.model = model
         self.cfg = cfg
         self.batch = batch
+        self.source = source
         self.hp = model.hp
         # group creation can happen on the event-loop thread (first stream of
         # a new latency mode) while the tick thread talks to the device — the
@@ -292,29 +298,54 @@ class EngineGroup:
                         self.consumed_samples.get(sid, 0) + n
                     )
 
+    def _refresh_native(self) -> None:
+        """Pull per-slot staging status from the native ingest layer — one
+        batched call replaces _drain_queues (PCM never crosses into Python
+        until the tick block is filled)."""
+        idxs = [i for i, s in enumerate(self.slots)
+                if s is not None and not s.finalize_sent]
+        if not idxs:
+            return
+        sids = np.array([self.slots[i].stream_id for i in idxs], np.uint32)
+        staged, pushed = self.source.status(sids)
+        for j, i in enumerate(idxs):
+            if staged[j] >= 0:  # -1 = stream dropped natively; event pending
+                self.slots[i].staged = int(staged[j])
+                self.slots[i].total_pushed = int(pushed[j])
+
     def _prime_new_slots(self) -> None:
         """Fold each new stream's first 96 samples into its device-side
         frontend carry (one batched prime op, dispatched only on join ticks)."""
+        rows = [i for i, s in enumerate(self.slots)
+                if s is not None and not s.primed
+                and s.staged >= PRIME_SAMPLES]
+        if not rows:
+            return
+        raw = np.zeros((len(rows), PRIME_SAMPLES), np.int16)
+        if self.source is not None:
+            sids = np.array([self.slots[i].stream_id for i in rows],
+                            np.uint32)
+            take_n = np.full(len(rows), PRIME_SAMPLES, np.int32)
+            self.source.take_block(sids, take_n, raw)
+            for i in rows:
+                self.slots[i].staged -= PRIME_SAMPLES
+        else:
+            for j, i in enumerate(rows):
+                raw[j] = self.slots[i].take(PRIME_SAMPLES)
         mask = np.zeros(self.batch, dtype=bool)
-        tails = None
-        lasts = None
-        for i, s in enumerate(self.slots):
-            if s is None or s.primed or s.staged < PRIME_SAMPLES:
-                continue
-            raw = _to_f32(s.take(PRIME_SAMPLES))
+        tails = np.zeros((self.batch, PP_TAIL_LEN), np.float32)
+        lasts = np.zeros(self.batch, np.float32)
+        for j, i in enumerate(rows):
+            f = _to_f32(raw[j])
             emph = np.empty(PRIME_SAMPLES, np.float32)
-            emph[0] = raw[0]
-            emph[1:] = raw[1:] - PREEMPH * raw[:-1]
-            if tails is None:
-                tails = np.zeros((self.batch, PP_TAIL_LEN), np.float32)
-                lasts = np.zeros(self.batch, np.float32)
+            emph[0] = f[0]
+            emph[1:] = f[1:] - PREEMPH * f[:-1]
             tails[i, PP_TAIL_LEN - PRIME_SAMPLES :] = emph
-            lasts[i] = raw[-1]
+            lasts[i] = f[-1]
             mask[i] = True
-            s.primed = True
-        if tails is not None:
-            with DEVICE_LOCK:
-                self.state = self.model.prime_frontend(self.state, mask, tails,
+            self.slots[i].primed = True
+        with DEVICE_LOCK:
+            self.state = self.model.prime_frontend(self.state, mask, tails,
                                                    lasts)
 
     def drain_consumed(self) -> dict[int, int]:
@@ -442,7 +473,10 @@ class EngineGroup:
         events: list[Event] = []
 
         self._apply_pending_resets()
-        self._drain_queues()
+        if self.source is None:
+            self._drain_queues()
+        else:
+            self._refresh_native()
         self._prime_new_slots()
 
         n_valid = np.zeros(b, dtype=np.int32)
@@ -485,15 +519,33 @@ class EngineGroup:
                 k = k_cap
 
         block = np.zeros((b, k * shift), dtype=np.int16)
+        if self.source is not None and (bool(ready.any()) or fin_nv):
+            # ONE native call fills every active row straight from the C++
+            # staging rings (zero-padded partial finalize rows included)
+            take_sids = np.zeros(b, np.uint32)
+            take_n = np.zeros(b, np.int32)
+            for i in np.nonzero(ready)[0]:
+                take_sids[i] = self.slots[i].stream_id
+                take_n[i] = k * shift
+            for i in fin_nv:
+                take_sids[i] = self.slots[i].stream_id
+                take_n[i] = shift
+            self.source.take_block(take_sids, take_n, block)
         for i in np.nonzero(ready)[0]:
             slot = self.slots[i]
-            block[i] = slot.take(k * shift)
+            if self.source is None:
+                block[i] = slot.take(k * shift)
+            else:
+                slot.staged = max(0, slot.staged - k * shift)
             n_valid[i] = cfg.valid_out_len
             active[i] = True
             slot.steps += k
         for i, nv in fin_nv.items():
             slot = self.slots[i]
-            block[i, :shift] = slot.take(shift)  # zero-padded partial block
+            if self.source is None:
+                block[i, :shift] = slot.take(shift)  # zero-padded partial
+            else:
+                slot.staged = max(0, slot.staged - shift)
             n_valid[i] = nv
             active[i] = True
             finalizing.add(i)
@@ -628,9 +680,10 @@ class EngineGroup:
 class BatchedEngine:
     """Multi-latency-mode engine; owns one EngineGroup per right_context."""
 
-    def __init__(self, model, batch_per_group: int = 32):
+    def __init__(self, model, batch_per_group: int = 32, source=None):
         self.model = model
         self.batch = batch_per_group
+        self.source = source  # optional native ingest backend (see EngineGroup)
         self.groups: dict[int, EngineGroup] = {}
         self._groups_lock = threading.Lock()
         self._ids = itertools.count(1)
@@ -647,7 +700,8 @@ class BatchedEngine:
                 group = self.groups.get(rc)
                 if group is None:
                     group = EngineGroup(
-                        self.model, self.model.cache_config(rc), self.batch
+                        self.model, self.model.cache_config(rc), self.batch,
+                        source=self.source,
                     )
                     self.groups[rc] = group
         prompt_index = self.model.default_prompt_index
