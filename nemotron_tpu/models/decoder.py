@@ -15,6 +15,7 @@ Exact semantics preserved (nemo-ggml.cpp:1233-1382):
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -23,6 +24,16 @@ import jax.numpy as jnp
 from ..config import MAX_SYMBOLS_PER_STEP, Hparams
 from ..ops.lstm import lstm2_step
 from ..params import _ptree
+
+# Batched greedy decode formulation. Default: "loop labels" — ONE while_loop
+# in which every stream advances through its own frames (emit -> stay on the
+# frame, blank -> next frame), so total joint+LSTM iterations are
+# max_b(T + emissions_b) instead of the nested form's sum_t(1 + max_b
+# emissions_bt): one noisy stream no longer forces up to 10 full-batch
+# iterations on every frame (the reference's per-stream bound is by
+# construction, nemo-ggml.cpp:1258 — this is its batched-SPMD equivalent).
+# NEMOTRON_TPU_LOOP_LABELS=0 restores the frame-scan x symbol-while form.
+LOOP_LABELS = os.environ.get("NEMOTRON_TPU_LOOP_LABELS", "1") == "1"
 
 
 @_ptree
@@ -79,6 +90,9 @@ def greedy_decode(
     blank = hp.blank_id
     if n_valid is None:
         n_valid = jnp.full((b,), t, dtype=jnp.int32)
+
+    if LOOP_LABELS:
+        return _greedy_decode_loop_labels(params, hp, enc_out, state, n_valid)
 
     emb_table = params.decoder.embedding
     s_max = MAX_SYMBOLS_PER_STEP
@@ -139,6 +153,79 @@ def greedy_decode(
         h=h,
         c=c,
         prev_token=prev,
+        frame_offset=state.frame_offset + n_valid,
+    )
+    return new_state, tokens
+
+
+def _greedy_decode_loop_labels(params, hp: Hparams, enc_out, state, n_valid):
+    """Loop-labels batched greedy decode (token-identical to the nested form).
+
+    One while_loop over joint evaluations; per stream, a non-blank emission
+    updates the LSTM/prev and stays on the same frame, a blank (or hitting
+    the 10-symbol frame cap) advances the frame pointer. The loop exits when
+    every stream's pointer passes its n_valid. Per-stream frame selection is
+    a comparison-based one-hot contraction over T (streaming T is 1-14; no
+    dynamic gathers — the op class that once dominated the step).
+    """
+    b, t, _ = enc_out.shape
+    blank = hp.blank_id
+    emb_table = params.decoder.embedding
+    s_max = MAX_SYMBOLS_PER_STEP
+    t_iota = jnp.arange(t, dtype=jnp.int32)
+
+    # encoder-side joint projection for ALL frames in one matmul (hoisted)
+    enc_proj = enc_out @ params.joint.enc_w.T + params.joint.enc_b  # [B,T,J]
+
+    def cond(st):
+        _h, _c, _prev, frame_idx, _sym, _acc, it = st
+        # worst case: s_max emissions + 1 forced-advance eval per frame
+        return jnp.logical_and(jnp.any(frame_idx < n_valid),
+                               it < t * (s_max + 1) + 1)
+
+    def body(st):
+        h, c, prev, frame_idx, sym_idx, acc, it = st
+        active = frame_idx < n_valid  # [B]
+        t_oh = (frame_idx[:, None] == t_iota[None, :]).astype(enc_proj.dtype)
+        enc_t = jnp.einsum("bt,btj->bj", t_oh, enc_proj)  # [B, J]
+
+        onehot = jax.nn.one_hot(prev, emb_table.shape[0],
+                                dtype=emb_table.dtype)
+        emb = onehot @ emb_table
+        dec_out, h2, c2 = lstm2_step(params.decoder, emb, h, c)
+        logits = joint_from_proj(params.joint, enc_t, dec_out)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        is_blank = tok == blank
+        forced = sym_idx >= s_max  # frame emission cap reached
+        emit = active & ~is_blank & ~forced
+        advance = active & (is_blank | forced)
+
+        s_oh = (sym_idx[:, None]
+                == jnp.arange(s_max, dtype=jnp.int32)[None, :])
+        cell = t_oh.astype(jnp.bool_)[:, :, None] & s_oh[:, None, :]
+        write = emit[:, None, None] & cell  # [B, T, S] one-hot position
+        acc = jnp.where(write, (tok + 1)[:, None, None], acc)
+
+        gate = emit[:, None, None]
+        h = jnp.where(gate, h2, h)
+        c = jnp.where(gate, c2, c)
+        prev = jnp.where(emit, tok, prev)
+        frame_idx = frame_idx + advance.astype(jnp.int32)
+        sym_idx = jnp.where(advance, 0,
+                            sym_idx + emit.astype(jnp.int32))
+        return (h, c, prev, frame_idx, sym_idx, acc, it + 1)
+
+    acc0 = jnp.zeros((b, t, s_max), dtype=jnp.int32)
+    h, c, prev, _, _, acc, _ = jax.lax.while_loop(
+        cond, body,
+        (state.h, state.c, state.prev_token,
+         jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32),
+         acc0, jnp.int32(0)),
+    )
+    tokens = acc - 1  # 0 (never written) -> -1 sentinel
+    new_state = DecodeState(
+        h=h, c=c, prev_token=prev,
         frame_offset=state.frame_offset + n_valid,
     )
     return new_state, tokens

@@ -349,3 +349,61 @@ def test_pallas_t1_attention_in_stream_encoder(monkeypatch):
         outs[use_pallas] = (np.asarray(e), np.asarray(k2), np.asarray(v2))
     for a, b in zip(outs[False], outs[True]):
         np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_pallas_attn_block_in_stream_encoder(monkeypatch):
+    """Full streaming encoder with the fused Pallas attention BLOCK
+    (LN + QKV + T=1 attention + out-proj + residual in one kernel,
+    ops/attn_block_pallas.py) == default fast path, on the same phased
+    slack-buffer state."""
+    from nemotron_tpu.models import encoder as ENC
+    from nemotron_tpu.streaming.state import init_stream_state
+
+    from helpers import tiny_cfg
+
+    CFG = tiny_cfg(HP)
+    B = 4
+
+    outs = {}
+    for use_block in (False, True):
+        monkeypatch.setattr(ENC, "PALLAS_ATTN_BLOCK", use_block)
+        state = init_stream_state(B, HP, CFG)
+        k, v, c, valid = (state.k_cache, state.v_cache, state.conv_cache,
+                          state.cache_valid)
+        es = []
+        for step, phase in enumerate((0, 1, 2)):
+            rng2 = np.random.default_rng(80 + step)  # same mel both runs
+            mel = rng2.standard_normal(
+                (B, CFG.chunk_mel_frames, HP.n_mels)).astype(np.float32)
+            e, k, v, c, valid = ENC.stream_encode_step(
+                PARAMS, HP, CFG, jnp.asarray(mel), k, v, c, valid,
+                phase=phase)
+            es.append(np.asarray(e))
+        outs[use_block] = (np.concatenate(es), np.asarray(k), np.asarray(v))
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_greedy_decode_loop_labels_matches_nested(monkeypatch):
+    """The loop-labels batched greedy decode (one while_loop, per-stream
+    frame pointers — the reference's per-stream emission bound in SPMD form)
+    must be token- and state-identical to the frame-scan x symbol-while
+    formulation, across ragged n_valid and multi-symbol frames."""
+    from nemotron_tpu.models import decoder as DEC
+
+    rng = np.random.default_rng(11)
+    b, t = 5, 7
+    enc = rng.standard_normal((b, t, HP.d_model)).astype(np.float32) * 2.0
+    n_valid = np.array([t, 0, 3, t, 1], dtype=np.int32)
+
+    outs = {}
+    for use_ll in (False, True):
+        monkeypatch.setattr(DEC, "LOOP_LABELS", use_ll)
+        st = init_decode_state(b, HP)
+        st2, toks = greedy_decode(PARAMS, HP, jnp.asarray(enc), st,
+                                  n_valid=jnp.asarray(n_valid))
+        outs[use_ll] = (np.asarray(toks), np.asarray(st2.h),
+                        np.asarray(st2.c), np.asarray(st2.prev_token),
+                        np.asarray(st2.frame_offset))
+    for a, b2 in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, b2)
