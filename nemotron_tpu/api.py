@@ -106,16 +106,42 @@ class ASRModel:
         return fn
 
     @functools.lru_cache(maxsize=64)
-    def _compact_fn(self, cfg: CacheConfig, phase: int):
+    def _compact_fn(self, cfg: CacheConfig, phase: int, masked: bool = False):
         from .models.encoder import compact_cache
 
         hp = self.hp
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def fn(k, v):
-            return compact_cache(cfg, hp, k, v, phase=phase)
+        if masked:
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def fn(k, v, mask):
+                return compact_cache(cfg, hp, k, v, phase=phase, mask=mask)
+        else:
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def fn(k, v):
+                return compact_cache(cfg, hp, k, v, phase=phase)
 
         return fn
+
+    @functools.lru_cache(maxsize=64)
+    def _realign_fn(self, cfg: CacheConfig, delta: int):
+        from .models.encoder import realign_cache
+
+        hp = self.hp
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def fn(k, v, mask):
+            return realign_cache(cfg, hp, k, v, delta, mask)
+
+        return fn
+
+    def realign_state(self, cfg, state, delta: int, mask):
+        """Move masked slots' K/V windows forward by `delta` phases (per-slot
+        realign-on-resume; see models.encoder.realign_cache)."""
+        k, v = self._realign_fn(cfg, delta)(
+            state.k_cache, state.v_cache, jnp.asarray(mask))
+        import dataclasses
+
+        return dataclasses.replace(state, k_cache=k, v_cache=v)
 
     def stream_step(self, cfg, state, mel_chunk, n_valid, active,
                     prompt_idx=None, phase: int = 0):
@@ -151,7 +177,8 @@ class ASRModel:
 
     @functools.lru_cache(maxsize=128)
     def _fused_tick_packed_fn(self, cfg: CacheConfig, batch: int,
-                              all_active: bool, phase: int, k: int):
+                              all_active: bool, phase: int, k: int,
+                              fast_gated: bool = False):
         from .models.asr import fused_serve_tick, fused_serve_tick_multi
 
         hp = self.hp
@@ -172,6 +199,7 @@ class ASRModel:
                     params, state, audio, n_valid,
                     None if all_active else act,
                     prompt_arg, hp=hp, cfg=cfg, phase=phase,
+                    fast_gated=fast_gated,
                 )
             # backlog micro-batching: k chunks per dispatch (all-active only)
             return fused_serve_tick_multi(
@@ -194,16 +222,20 @@ class ASRModel:
         return np.concatenate([audio_block, cols], axis=1)
 
     def fused_tick_packed(self, cfg, state, packed_dev, all_active: bool,
-                          phase: int = 0, k: int = 1):
+                          phase: int = 0, k: int = 1,
+                          fast_gated: bool = False):
         """fused_tick consuming a pre-uploaded packed input (see
         pack_tick_inputs); lets the caller overlap the upload with other
         work. k > 1 (all-active only) advances every stream by k chunks in
         one program; the caller's phase then advances by k mod n_phases with
-        wrap compaction already done on device."""
+        wrap compaction already done on device. fast_gated runs a partially-
+        active batch on the phased fast path with masked state updates (the
+        engine realigns paused slots on resume)."""
         b = packed_dev.shape[0]
         if k > 1 and not all_active:
             raise ValueError("multi-chunk ticks are all-active only")
-        fn = self._fused_tick_packed_fn(cfg, b, all_active, phase, k)
+        fn = self._fused_tick_packed_fn(cfg, b, all_active, phase, k,
+                                        fast_gated and not all_active)
         return fn(self.params, state, packed_dev)
 
     def fused_tick(self, cfg, state, audio_block, n_valid, active,
@@ -294,15 +326,21 @@ class ASRModel:
         return self._prime_fn()(state, jnp.asarray(mask), jnp.asarray(tails),
                                 jnp.asarray(lasts))
 
-    def compact_state(self, cfg, state, phase: int | None = None):
+    def compact_state(self, cfg, state, phase: int | None = None, mask=None):
         """Move the live K/V window back to phase 0. `phase` is the caller's
         CURRENT phase (live window at phase*chunk_len); defaults to the wrap
-        (phase == n_phases). Mid-cycle callers must pass their phase."""
+        (phase == n_phases). Mid-cycle callers must pass their phase.
+        `mask` restricts compaction to those slots (per-slot realign flow:
+        paused slots' windows must not be overwritten by the wrap)."""
         if phase is None:
             phase = cfg.n_phases
         if phase == 0:
             return state
-        k, v = self._compact_fn(cfg, phase)(state.k_cache, state.v_cache)
+        if mask is None:
+            k, v = self._compact_fn(cfg, phase)(state.k_cache, state.v_cache)
+        else:
+            k, v = self._compact_fn(cfg, phase, masked=True)(
+                state.k_cache, state.v_cache, jnp.asarray(mask))
         import dataclasses
 
         return dataclasses.replace(state, k_cache=k, v_cache=v)

@@ -125,6 +125,7 @@ def fused_encode_tick(
     hp: Hparams,
     cfg: CacheConfig,
     phase: int = 0,
+    fast_gated: bool = False,
 ):
     """Frontend + encoder half of the fused serving tick: raw PCM blocks in ->
     encoder frames out, all frontend/cache state advanced (decode state
@@ -158,11 +159,13 @@ def fused_encode_tick(
             prompt_idx, hp.num_prompts, dtype=mel_cast.dtype
         )
 
+    act = None if active is None else active.astype(bool)
     enc, k2, v2, c2, valid2 = stream_encode_step(
         params, hp, cfg, mel_cast,
         state.k_cache, state.v_cache, state.conv_cache, state.cache_valid,
         prompt_onehot=prompt_onehot,
-        phase=phase, advance_phase=active is None,
+        phase=phase, advance_phase=active is None or fast_gated,
+        active_mask=act if fast_gated else None,
     )
 
     if active is None:
@@ -170,8 +173,19 @@ def fused_encode_tick(
             state, k_cache=k2, v_cache=v2, conv_cache=c2, cache_valid=valid2,
             pp_tail=tail2, pp_last=last2, mel_ov=new_ov,
         )
+    elif fast_gated:
+        # masked fast path: K/V append, conv cache and cache_valid were
+        # already gated INSIDE stream_encode_step (only the small new-frame
+        # tensors are touched — no full-buffer where); gate the frontend
+        # carries here. Paused slots' windows stay at their old phase — the
+        # engine realigns them on resume (encoder.realign_cache).
+        new_state = dataclasses.replace(
+            state, k_cache=k2, v_cache=v2, conv_cache=c2, cache_valid=valid2,
+            pp_tail=_gate_batch0(act, tail2, state.pp_tail),
+            pp_last=jnp.where(act, last2, state.pp_last),
+            mel_ov=_gate_batch0(act, new_ov, state.mel_ov),
+        )
     else:
-        act = active.astype(bool)
         new_state = dataclasses.replace(
             state,
             k_cache=_gate_batch1(act, k2, state.k_cache),
@@ -207,6 +221,7 @@ def fused_serve_tick(
     hp: Hparams,
     cfg: CacheConfig,
     phase: int = 0,
+    fast_gated: bool = False,
 ):
     """Whole serving hot path in ONE device program: raw PCM in -> tokens out.
     This removes the mel upload+readback round-trips that capped the tunneled
@@ -222,7 +237,7 @@ def fused_serve_tick(
     """
     new_state, enc = fused_encode_tick(
         params, state, audio_block, active, prompt_idx, hp=hp, cfg=cfg,
-        phase=phase,
+        phase=phase, fast_gated=fast_gated,
     )
     return decode_tick(params, new_state, enc, n_valid, active, hp=hp)
 

@@ -41,6 +41,14 @@ from ..ops.rel_attention import rel_pos_mha, rel_pos_mha_fullbuf
 # scan (smaller graphs, faster compiles).
 SCAN_LAYERS = os.environ.get("NEMOTRON_TPU_SCAN_LAYERS", "0") == "1"
 
+# Fused Pallas attention BLOCK (LN + QKV + T=1 attention + out-proj +
+# residual in one kernel per layer, ops/attn_block_pallas.py) on the
+# unrolled fast path. Opt-in until measured faster than XLA's fusion on the
+# target hardware (the attention-only kernel measured 2.3x slower; this one
+# gives Mosaic the projection matmuls to hide the cache streaming behind).
+PALLAS_ATTN_BLOCK = os.environ.get(
+    "NEMOTRON_TPU_PALLAS_ATTN_BLOCK", "0") == "1"
+
 
 def conformer_layer(
     x,
@@ -54,6 +62,7 @@ def conformer_layer(
     left_context: int | None = None,
     split_kv: bool = False,
     shift_onehot=None,
+    attn_block=None,
 ):
     """One conformer layer (batch or cached). x: [B, T, D].
 
@@ -62,16 +71,23 @@ def conformer_layer(
     split_kv the k/v outputs are the NEW frames only (caller shifts the
     buffers once for all layers — avoids rematerializing the 70-frame caches
     per layer, which was ~45% of the streaming step).
+
+    attn_block: optional fused replacement for the whole attention sub-block
+    (LN + MHA + residual): callable res -> (res', k_new, v_new). Used by the
+    Pallas fused-block path (ops/attn_block_pallas.py).
     """
     cached = left_context is not None
     res = x
     cur = layer_norm(res, lp.norm_ff1_w, lp.norm_ff1_b)
     res = res + 0.5 * ffn(cur, lp.ffn1_w1, lp.ffn1_w2)
 
-    cur = layer_norm(res, lp.norm_attn_w, lp.norm_attn_b)
-    if shift_onehot is not None:
+    if attn_block is not None:
+        # fused Pallas sub-block: LN + MHA + residual in one kernel
+        res, k_out, v_out = attn_block(res)
+    elif shift_onehot is not None:
         # full-slack-buffer attention (k_cache/v_cache are per-layer buffer
         # views; the phase's window selection lives in shift_onehot/attn_mask)
+        cur = layer_norm(res, lp.norm_attn_w, lp.norm_attn_b)
         cur, k_out, v_out = rel_pos_mha_fullbuf(
             cur, pos_emb,
             lp.attn_q_w, lp.attn_k_w, lp.attn_v_w, lp.attn_pos_w,
@@ -80,7 +96,9 @@ def conformer_layer(
             k_buf=k_cache, v_buf=v_cache,
             shift_onehot=shift_onehot, attn_mask=attn_mask,
         )
+        res = res + cur
     else:
+        cur = layer_norm(res, lp.norm_attn_w, lp.norm_attn_b)
         mha_out = rel_pos_mha(
             cur,
             pos_emb,
@@ -103,7 +121,7 @@ def conformer_layer(
             cur, k_out, v_out = mha_out
         else:
             cur, k_out, v_out = mha_out, None, None
-    res = res + cur
+        res = res + cur
 
     # Conv module: LN -> pw1 -> GLU -> causal dw conv -> LN -> SiLU -> pw2
     # (nemo-ggml.cpp:760-838; the "batch_norm" weights act as a layer norm)
@@ -211,6 +229,7 @@ def stream_encode_step(
     prompt_onehot=None,
     phase: int = 0,
     advance_phase: bool = True,
+    active_mask=None,
 ):
     """One streaming encoder chunk against a phased slack buffer.
 
@@ -226,10 +245,19 @@ def stream_encode_step(
     advance_phase: True (all-active fast path) appends the new frames after
                  the window with one tiny dynamic_update_slice — the caller
                  then moves to phase+1 and runs `compact_cache` at the wrap.
-                 False (gated path: some streams may be inactive) rewrites the
-                 window shifted-in-place at the SAME phase, so a gated stream's
-                 window never moves while it is paused (exact reference
-                 semantics; costs the full 70-frame rewrite like the reference).
+                 False (legacy gated path: some streams may be inactive)
+                 rewrites the window shifted-in-place at the SAME phase, so a
+                 gated stream's window never moves while it is paused (exact
+                 reference semantics; costs the full 70-frame rewrite like
+                 the reference).
+    active_mask: [B] bool, only with advance_phase=True — the MASKED fast
+                 path: inactive slots' K/V append region, conv cache and
+                 cache_valid keep their old values bit-for-bit (the where()
+                 touches only the [L,B,H,T,Dh] new-frame tensors, never the
+                 big buffers), so a mixed active/paused batch still rides the
+                 phased fast path. Paused slots' windows stay at the phase
+                 they were last active at; the engine realigns them on
+                 resume (realign_cache).
 
     Returns (enc_out [B, chunk_len, D], k', v', conv', cache_valid').
     """
@@ -260,15 +288,40 @@ def stream_encode_step(
             jnp.asarray(j_of_s)[None, :] < offset[:, None], -1e9, 0.0
         ).astype(x.dtype)
 
+        use_block = PALLAS_ATTN_BLOCK and chunk_len == 1
         kn_l, vn_l, cc_l = [], [], []
         for layer in range(hp.n_layers):
             lp = jax.tree.map(lambda a, _l=layer: a[_l], params.layers)
+            ab = None
+            if use_block:
+                from ..audio.frontend import _pallas_interpret
+                from ..ops.attn_block_pallas import t1_attention_block
+                from ..ops.basic import linear as _linear
+
+                # phase-shifted position projection for this layer (tiny,
+                # XLA): pp[h, d, s] = sum_p pos_proj[p, h, d] * onehot[0, p, s]
+                pos = _linear(pe, lp.attn_pos_w)
+                ph = pos.reshape(-1, hp.n_heads, hp.d_head)
+                pp = jnp.einsum("phd,ps->hds", ph.astype(jnp.float32),
+                                onehot[0].astype(jnp.float32))
+
+                def ab(res, lp=lp, pp=pp, kc=k_cache[layer],
+                       vc=v_cache[layer]):
+                    out2, (kn, vn) = t1_attention_block(
+                        res[:, 0, :], lp.norm_attn_w, lp.norm_attn_b,
+                        lp.attn_q_w, lp.attn_k_w, lp.attn_v_w,
+                        lp.attn_out_w, lp.pos_bias_u, lp.pos_bias_v,
+                        pp, mask_full, kc, vc,
+                        n_heads=hp.n_heads, d_head=hp.d_head,
+                        interpret=_pallas_interpret())
+                    return (out2[:, None, :], kn[:, :, None, :],
+                            vn[:, :, None, :])
             x, k_new, v_new, cc2 = conformer_layer(
                 x, pe, lp, hp,
                 k_cache=k_cache[layer], v_cache=v_cache[layer],
                 conv_cache=conv_cache[layer],
                 attn_mask=mask_full, left_context=lc,
-                shift_onehot=onehot,
+                shift_onehot=onehot, attn_block=ab,
             )
             kn_l.append(k_new)
             vn_l.append(v_new)
@@ -277,6 +330,18 @@ def stream_encode_step(
             k_new_all = jnp.stack(kn_l)  # [L, B, H, T, Dh]
             v_new_all = jnp.stack(vn_l)
             conv_out = jnp.stack(cc_l)
+            if active_mask is not None:
+                # masked fast path: inactive slots keep their old append
+                # region / conv cache (tiny where, big buffers untouched)
+                m = active_mask[None, :, None, None, None]
+                old_k = jax.lax.slice_in_dim(
+                    k_cache, win_hi, win_hi + chunk_len, axis=3)
+                old_v = jax.lax.slice_in_dim(
+                    v_cache, win_hi, win_hi + chunk_len, axis=3)
+                k_new_all = jnp.where(m, k_new_all, old_k)
+                v_new_all = jnp.where(m, v_new_all, old_v)
+                conv_out = jnp.where(active_mask[None, :, None, None],
+                                     conv_out, conv_cache)
             k_out = jax.lax.dynamic_update_slice(
                 k_cache, k_new_all, (0, 0, 0, win_hi, 0))
             v_out = jax.lax.dynamic_update_slice(
@@ -286,8 +351,10 @@ def stream_encode_step(
 
         if params.prompt is not None and prompt_onehot is not None:
             x = prompt_fusion(params.prompt, x, prompt_onehot)
-        cache_valid = jnp.minimum(cache_valid + chunk_len, lc)
-        return x, k_out, v_out, conv_out, cache_valid
+        valid2 = jnp.minimum(cache_valid + chunk_len, lc)
+        if active_mask is not None:
+            valid2 = jnp.where(active_mask, valid2, cache_valid)
+        return x, k_out, v_out, conv_out, valid2
 
     pos_idx = jnp.arange(kv_len, dtype=jnp.int32)[None, :]
     attn_mask = jnp.where(pos_idx < offset[:, None], -1e9, 0.0).astype(x.dtype)
@@ -311,6 +378,16 @@ def stream_encode_step(
     if advance_phase:
         # append-only: the big buffers update in place (donated); only the
         # [L, B, H, chunk_len, Dh] new frames are written
+        if active_mask is not None:
+            m = active_mask[None, :, None, None, None]
+            old_k = jax.lax.slice_in_dim(
+                k_cache, win_hi, win_hi + chunk_len, axis=3)
+            old_v = jax.lax.slice_in_dim(
+                v_cache, win_hi, win_hi + chunk_len, axis=3)
+            k_new_all = jnp.where(m, k_new_all, old_k)
+            v_new_all = jnp.where(m, v_new_all, old_v)
+            conv_out = jnp.where(active_mask[None, :, None, None],
+                                 conv_out, conv_cache)
         k_out = jax.lax.dynamic_update_slice(
             k_cache, k_new_all, (0, 0, 0, win_hi, 0))
         v_out = jax.lax.dynamic_update_slice(
@@ -331,12 +408,14 @@ def stream_encode_step(
     if params.prompt is not None and prompt_onehot is not None:
         x = prompt_fusion(params.prompt, x, prompt_onehot)
 
-    cache_valid = jnp.minimum(cache_valid + chunk_len, lc)
-    return x, k_out, v_out, conv_out, cache_valid
+    valid2 = jnp.minimum(cache_valid + chunk_len, lc)
+    if active_mask is not None:
+        valid2 = jnp.where(active_mask, valid2, cache_valid)
+    return x, k_out, v_out, conv_out, valid2
 
 
 def compact_cache(cfg: CacheConfig, hp: Hparams, k_cache, v_cache,
-                  phase: int | None = None):
+                  phase: int | None = None, mask=None):
     """Move the live history window back to phase 0 (run once every n_phases
     chunks; amortizes the 70-frame rewrite).
 
@@ -345,7 +424,11 @@ def compact_cache(cfg: CacheConfig, hp: Hparams, k_cache, v_cache,
     (phase=n_phases, the wrap) is the window at the very end of the slack
     buffer. Compaction at any mid-cycle phase (fast->gated transition in the
     engine) MUST pass its phase — copying the buffer tail there would install
-    stale history."""
+    stale history.
+
+    `mask` ([B] bool): compact only these slots — slots that are paused at an
+    earlier phase keep their window untouched (per-slot realign flow; the
+    unmasked wrap would overwrite a paused slot's frames at [0, 70))."""
     lc = cfg.att_left_context
     if phase is None:
         phase = cfg.n_phases
@@ -354,6 +437,40 @@ def compact_cache(cfg: CacheConfig, hp: Hparams, k_cache, v_cache,
         return k_cache, v_cache  # window already at phase 0
     win_k = jax.lax.slice_in_dim(k_cache, lo, lo + lc, axis=3)
     win_v = jax.lax.slice_in_dim(v_cache, lo, lo + lc, axis=3)
+    if mask is not None:
+        m = mask[None, :, None, None, None]
+        win_k = jnp.where(m, win_k,
+                          jax.lax.slice_in_dim(k_cache, 0, lc, axis=3))
+        win_v = jnp.where(m, win_v,
+                          jax.lax.slice_in_dim(v_cache, 0, lc, axis=3))
     k2 = jax.lax.dynamic_update_slice(k_cache, win_k, (0, 0, 0, 0, 0))
     v2 = jax.lax.dynamic_update_slice(v_cache, win_v, (0, 0, 0, 0, 0))
+    return k2, v2
+
+
+def realign_cache(cfg: CacheConfig, hp: Hparams, k_cache, v_cache,
+                  delta: int, mask):
+    """Per-slot realign-on-resume: move the masked slots' live window forward
+    by `delta` phases (to wherever the group's current phase is).
+
+    A slot that pauses stops moving through the slack buffer while the rest
+    of its group advances one phase per chunk. On resume, its last
+    left_context frames are still its attention history (relative positions
+    count stream frames, not wall clock — reference semantics,
+    nemo-stream.cpp:505-512), they just sit `delta` phases behind the
+    group's window. Implemented as a masked STATIC roll of the S axis
+    (roll = two static slices + concat; no gathers), one compiled variant
+    per delta (delta in [-(n_phases-1), n_phases-1] \\ {0} — at most
+    2*(n_phases-1) tiny programs over the server's life). The rolled
+    wrap-around region is garbage for the realigned slot, but it lies
+    outside its live window and the phase constants never read it.
+
+    Dispatched only on resume ticks; every other tick stays on the phased
+    fast path (the old behavior compacted + full-rewrote the window on EVERY
+    tick with any paused slot)."""
+    assert delta != 0
+    shift = delta * cfg.chunk_len(hp)
+    m = mask[None, :, None, None, None]
+    k2 = jnp.where(m, jnp.roll(k_cache, shift, axis=3), k_cache)
+    v2 = jnp.where(m, jnp.roll(v_cache, shift, axis=3), v_cache)
     return k2, v2

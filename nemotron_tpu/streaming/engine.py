@@ -65,6 +65,14 @@ def max_safe_tick_chunks(batch: int) -> int:
         k = min(k, 4)
     return max(1, k)
 
+# First-class gated ticks: a batch with paused/starved slots rides the SAME
+# phased fast path as an all-active batch (masked K/V appends), and a paused
+# slot's window is realigned to the group's current phase once, on resume
+# (models/encoder.realign_cache). 0 restores the round-2 behavior — any
+# inactive slot forced a mid-cycle compaction plus a full 70-frame window
+# rewrite (reference-style gated tick) on EVERY tick until all-active again.
+GATED_REALIGN = os.environ.get("NEMOTRON_TPU_GATED_REALIGN", "1") == "1"
+
 # The axon tunnel's runtime is NOT safe under concurrent device calls from
 # multiple threads: a fetch racing a dispatch/upload can hang forever
 # (observed as a reader-thread np.asarray stuck >90 s while the tick thread
@@ -186,6 +194,9 @@ class EngineGroup:
         # host mirror of decode.frame_offset (avoids a device sync per tick)
         self.frame_offsets = np.zeros(batch, dtype=np.int64)
         self.phase = 0  # slack-buffer phase; advances on all-active ticks
+        # per-slot window alignment: the phase each slot's K/V window content
+        # sits at (paused slots fall behind; realigned on resume)
+        self.slot_phase = np.zeros(batch, dtype=np.int64)
         # pipelined token readbacks: FIFO of _Pending entries, fetched and
         # scattered on the tick thread AFTER the next step's dispatch (see
         # _drain_pending). On axon, is_ready()/copy_to_host_async are
@@ -272,6 +283,9 @@ class EngineGroup:
         with DEVICE_LOCK:
             self.state = reset_slots(self.state, jnp.asarray(mask), self.hp)
         self.frame_offsets[resets] = 0
+        # a fresh slot has no valid cache frames — trivially aligned to the
+        # group's current phase
+        self.slot_phase[resets] = self.phase
 
     def _drain_queues(self) -> None:
         """Move pushed audio into the tick-owned stages (consumption point
@@ -561,10 +575,28 @@ class EngineGroup:
             self.total_audio_seconds += n_act * k * shift / cfg.sample_rate
             frame_base = self.frame_offsets.copy()
             all_active = bool(active.all())
-            if not all_active and self.phase != 0:
-                # gated ticks run at phase 0 only: move the live window
-                # (currently at self.phase) back to phase 0 so paused slots
-                # stay aligned and only one gated variant compiles
+            use_realign = GATED_REALIGN and not PHASE_TIMERS
+            if use_realign:
+                # per-slot realign-on-resume: slots whose window fell behind
+                # the group phase (paused while others advanced) get ONE
+                # masked roll each distinct delta; every tick — mixed or
+                # all-active — then rides the phased fast path
+                deltas: dict[int, list[int]] = {}
+                for i in np.nonzero(active)[0]:
+                    d = self.phase - int(self.slot_phase[i])
+                    if d:
+                        deltas.setdefault(d, []).append(i)
+                for d, idxs in deltas.items():
+                    m = np.zeros(b, dtype=bool)
+                    m[idxs] = True
+                    with DEVICE_LOCK:
+                        self.state = self.model.realign_state(
+                            self.cfg, self.state, d, m)
+                    self.slot_phase[idxs] = self.phase
+            elif not all_active and self.phase != 0:
+                # legacy gated flow: ticks run at phase 0 only — move the
+                # live window (currently at self.phase) back to phase 0 so
+                # paused slots stay aligned; one gated variant compiles
                 with DEVICE_LOCK:
                     self.state = self.model.compact_state(
                         self.cfg, self.state, phase=self.phase
@@ -620,25 +652,34 @@ class EngineGroup:
                 with DEVICE_LOCK:
                     self.state, tokens = self.model.fused_tick_packed(
                         self.cfg, self.state, packed_dev, all_active,
-                        phase=self.phase, k=k,
+                        phase=self.phase, k=k, fast_gated=use_realign,
                     )
                 self.total_dispatch_seconds += time.perf_counter() - t_disp
             try:  # start the device->host copy now; collected next tick
                 tokens.copy_to_host_async()
             except AttributeError:
                 pass
-            if all_active:
-                # fast path appended at the phase offset; gated ticks are
-                # phase-stationary so paused slots stay aligned
+            if all_active or use_realign:
+                # fast path appended at the phase offset (masked appends for
+                # inactive slots under use_realign; legacy gated ticks are
+                # phase-stationary so paused slots stay aligned)
                 if k > 1:
                     # wrap compaction already ran inside the k-chunk program
+                    # (all-active only, so every slot moved together)
                     self.phase = (self.phase + k) % self.cfg.n_phases
+                    self.slot_phase[:] = self.phase
                 else:
+                    self.slot_phase[active] = self.phase + 1
                     self.phase += 1
                     if self.phase >= self.cfg.n_phases:
+                        aligned = self.slot_phase == self.cfg.n_phases
                         with DEVICE_LOCK:
+                            # paused slots' windows sit mid-buffer; the wrap
+                            # must not clobber them (masked compaction)
                             self.state = self.model.compact_state(
-                                self.cfg, self.state)
+                                self.cfg, self.state,
+                                mask=None if bool(aligned.all()) else aligned)
+                        self.slot_phase[aligned] = 0
                         self.phase = 0
             self.frame_offsets[active] += k * n_valid[active]
             self._enqueue_pending(_Pending(
