@@ -117,19 +117,32 @@ class NativeStreamServer:
         Python thread — holding the GIL during device I/O starves no one)."""
         assert self.ingest is not None, "call start() first"
         last_stats = time.monotonic()
+        t_wait = t_ctl = t_tick = t_deliver = 0.0
         try:
             while not self._stop:
+                t0 = time.perf_counter()
                 self.ingest.wait(50)  # GIL-free sleep until work or timeout
+                t1 = time.perf_counter()
+                t_wait += t1 - t0
                 self._handle_control()
+                t_ctl += time.perf_counter() - t1
                 more = True
                 while more and not self._stop:
+                    t2 = time.perf_counter()
                     events, more = self.engine.tick()
+                    t3 = time.perf_counter()
+                    t_tick += t3 - t2
                     self._deliver(events)
+                    t4 = time.perf_counter()
+                    t_deliver += t4 - t3
                     # keep control latency low during back-to-back ticks
                     self._handle_control()
-                if time.monotonic() - last_stats > 30.0:
+                    t_ctl += time.perf_counter() - t4
+                if time.monotonic() - last_stats > 10.0:
                     last_stats = time.monotonic()
-                    print(f"[stats] {json.dumps(self.engine.stats())}",
+                    print(f"[stats] {json.dumps(self.engine.stats())} "
+                          f"loop wait={t_wait:.1f} ctl={t_ctl:.1f} "
+                          f"tick={t_tick:.1f} deliver={t_deliver:.1f}",
                           file=sys.stderr)
         finally:
             self.ingest.stop()
