@@ -160,8 +160,26 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="weight-only Q8_0 encoder (variant line, stderr "
                          "PERF.md numbers; the driver metric stays bf16)")
+    ap.add_argument("--right-context", type=int, default=0,
+                    help="latency mode (R frames of lookahead; 0 = 80 ms)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="also measure R in {1, 6, 13} at the best R=0 batch "
+                         "(stderr rows; the driver JSON metric stays R=0)")
+    ap.add_argument("--batches", default=None,
+                    help="comma-separated batch sizes (default 256,384,512,768)")
     args = ap.parse_args()
-    best = run(int8=args.int8)
+    batches = (tuple(int(x) for x in args.batches.split(","))
+               if args.batches else (256, 384, 512, 768))
+    best = run(batch_sizes=batches, int8=args.int8,
+               right_context=args.right_context)
+    if best is not None and args.sweep:
+        for rc in (1, 6, 13):
+            r = run(batch_sizes=(best["B"],), int8=args.int8,
+                    right_context=rc)
+            if r:
+                print(f"[sweep] R={rc}: B={r['B']} "
+                      f"step={r['step_time'] * 1e3:.2f} ms -> "
+                      f"{r['streams']:.0f} rt streams", file=sys.stderr)
     if best is None:
         print(json.dumps({"metric": "concurrent_realtime_streams_80ms",
                           "value": 0, "unit": "streams/chip", "vs_baseline": 0.0}))

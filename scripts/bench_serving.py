@@ -44,7 +44,8 @@ def make_audio(i: int, n_samp: int) -> np.ndarray:
 
 # ---------------------------------------------------------------- worker mode
 async def _one_client(host: str, port: int, audio: np.ndarray,
-                      chunk_ms: int) -> str:
+                      chunk_ms: int):
+    t0 = time.time()
     r, w = await asyncio.open_connection(host, port)
 
     async def send(op, sid, payload=b""):
@@ -60,6 +61,7 @@ async def _one_client(host: str, port: int, audio: np.ndarray,
     op, _, payload = await recv()
     assert op == OP_STARTED, hex(op)
     sid = int(json.loads(payload)["id"])
+    t_started = time.time()
 
     texts: list[str] = []
     done = asyncio.Event()
@@ -84,10 +86,11 @@ async def _one_client(host: str, port: int, audio: np.ndarray,
     for off in range(0, len(audio), step):
         await send(OP_PUSH, sid, audio[off:off + step].tobytes())
     await send(OP_STREAM_END, sid)
+    t_pushed = time.time()
     await done.wait()
     rt.cancel()
     w.close()
-    return "".join(texts)
+    return "".join(texts), t0, t_started, t_pushed, time.time()
 
 
 async def worker_main(args) -> int:
@@ -101,10 +104,17 @@ async def worker_main(args) -> int:
     ]
     results = await asyncio.gather(*tasks)
     end = time.time()
+    texts = [r[0] for r in results]
     print(json.dumps({
         "start": start, "end": end,
         "audio": args.streams * args.secs,
-        "ok": sum(1 for t in results if t),
+        "ok": sum(1 for t in texts if t),
+        # client-phase aggregates (absolute times): when the last stream had
+        # its STARTED / finished pushing / got ENDED
+        "t_conn0": min(r[1] for r in results),
+        "t_started_max": max(r[2] for r in results),
+        "t_pushed_max": max(r[3] for r in results),
+        "t_ended_max": max(r[4] for r in results),
     }))
     return 0
 
@@ -125,14 +135,88 @@ async def _run_pass(procs: int, streams: int, secs: float, chunk_ms: int,
             "--chunk-ms", str(chunk_ms), "--seed-base", str(base),
             stdout=asyncio.subprocess.PIPE))
         base += k
+    t_spawned = time.time()
     outs = await asyncio.gather(*(p.communicate() for p in subs))
+    t_gathered = time.time()
     stats = [json.loads(o[0].decode().strip().splitlines()[-1]) for o in outs]
     wall = max(s["end"] for s in stats) - min(s["start"] for s in stats)
     audio = sum(s["audio"] for s in stats)
     ok = sum(s["ok"] for s in stats)
+    t0 = min(s["start"] for s in stats)
+    if "t_started_max" in stats[0]:
+        print(f"[{label} phases] all-STARTED at "
+              f"{max(s['t_started_max'] for s in stats) - t0:.1f}s, "
+              f"all-pushed at "
+              f"{max(s['t_pushed_max'] for s in stats) - t0:.1f}s, "
+              f"all-ENDED at "
+              f"{max(s['t_ended_max'] for s in stats) - t0:.1f}s; "
+              f"spawn->firstclient {t0 - t_spawned:.1f}s, "
+              f"lastend->gathered {t_gathered - max(s['end'] for s in stats):.1f}s",
+              file=sys.stderr)
     print(f"[{label}] {audio:.0f} audio-sec in {wall:.1f}s wall "
           f"({ok}/{streams} streams with text)", file=sys.stderr)
     return audio, wall, ok
+
+
+async def run_native(n_streams: int, secs: float, batch: int, chunk_ms: int,
+                     procs: int, mem_budget: int) -> int:
+    """Native-ingest variant: the server runs as a SUBPROCESS with the C++
+    epoll ingest (python -m nemotron_tpu.serving.server --native). The bench
+    parent holds no JAX at all; clients are worker subprocesses as before."""
+    import socket as _socket
+
+    s = _socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    proc = await asyncio.create_subprocess_exec(
+        sys.executable, "-m", "nemotron_tpu.serving.server", "random",
+        "--native", "--bf16", "--port", str(port), "--batch", str(batch),
+        "--mem-budget", str(mem_budget), "--blank-bias", "2.4",
+        cwd=str(Path(__file__).resolve().parent.parent),
+        stderr=asyncio.subprocess.PIPE)
+    try:
+        while True:  # wait for the listener line (model load takes ~30 s)
+            line = await asyncio.wait_for(proc.stderr.readline(), timeout=300)
+            if not line:
+                raise RuntimeError("server exited before listening")
+            sys.stderr.buffer.write(line)
+            sys.stderr.flush()
+            if b"listening" in line:
+                break
+
+        async def pump():  # keep relaying server [stats] lines
+            while True:
+                line = await proc.stderr.readline()
+                if not line:
+                    return
+                sys.stderr.buffer.write(line)
+                sys.stderr.flush()
+
+        pump_task = asyncio.create_task(pump())
+        await _run_pass(procs, n_streams, 4.0, chunk_ms, port, 10_000,
+                        "warmup")
+        audio, wall, ok = await _run_pass(
+            procs, n_streams, secs, chunk_ms, port, 20_000, "timed")
+        pump_task.cancel()
+        rt = audio / wall
+        print(f"\nend-to-end throughput (native ingest): {rt:.0f} real-time "
+              f"streams ({ok}/{n_streams} streams with text)",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "e2e_serving_realtime_streams",
+            "value": round(rt, 1),
+            "unit": "streams/chip",
+            "vs_baseline": round(rt / 15.6, 2),
+        }))
+    finally:
+        proc.terminate()
+        try:
+            await asyncio.wait_for(proc.wait(), timeout=10)
+        except asyncio.TimeoutError:
+            proc.kill()
+    return 0
 
 
 async def run(n_streams: int, secs: float, batch: int, chunk_ms: int,
@@ -216,12 +300,19 @@ def main() -> int:
     ap.add_argument("--mem-budget", type=int, default=1 << 30,
                     help="admission budget bytes (bench default 1 GB; the "
                          "server's production default stays 64 MB)")
+    ap.add_argument("--native", action="store_true",
+                    help="run the server as a subprocess with the GIL-free "
+                         "C++ ingest (serving/native_server.py)")
     ap.add_argument("--worker", default=None,
                     help="internal: run as a client worker against HOST:PORT")
     ap.add_argument("--seed-base", type=int, default=0)
     args = ap.parse_args()
     if args.worker:
         return asyncio.run(worker_main(args))
+    if args.native:
+        return asyncio.run(run_native(args.streams, args.secs, args.batch,
+                                      args.chunk_ms, args.procs,
+                                      args.mem_budget))
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     return asyncio.run(run(args.streams, args.secs, args.batch, args.chunk_ms,
                            args.procs, args.mem_budget))
