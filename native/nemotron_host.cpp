@@ -9,8 +9,6 @@
 //   pcm_i16_to_f32_preemph : s16le -> f32 scale 1/32768 + pre-emphasis carry
 //   preemph_f32            : pre-emphasis on already-float audio
 //   frame_signal           : strided copy into [n_frames, frame_len] windows
-//   wire_parse             : scan a byte buffer for complete protocol frames
-//                            ([u8 opcode][u32 id][u32 len][payload], LE)
 //
 // Build: g++ -O3 -shared -fPIC -o libnemotron_host.so nemotron_host.cpp
 
@@ -59,41 +57,6 @@ void frame_signal(
         std::memcpy(out + t * frame_len, in + t * hop,
                     (size_t)frame_len * sizeof(float));
     }
-}
-
-// Parse as many complete wire frames as possible from buf[0..n).
-// For each frame i < max_frames writes (opcode, stream_id, payload_off,
-// payload_len) into the parallel output arrays. Returns the number of frames
-// parsed; *consumed is the byte offset where parsing stopped (start of the
-// first incomplete frame).
-int64_t wire_parse(
-    const uint8_t* buf, int64_t n, int64_t max_frames,
-    uint8_t* opcodes, uint32_t* stream_ids,
-    int64_t* payload_offs, uint32_t* payload_lens,
-    int64_t* consumed)
-{
-    int64_t off = 0;
-    int64_t count = 0;
-    while (count < max_frames && n - off >= 9) {
-        const uint8_t opcode = buf[off];
-        const uint32_t sid = (uint32_t)buf[off + 1]
-                           | ((uint32_t)buf[off + 2] << 8)
-                           | ((uint32_t)buf[off + 3] << 16)
-                           | ((uint32_t)buf[off + 4] << 24);
-        const uint32_t len = (uint32_t)buf[off + 5]
-                           | ((uint32_t)buf[off + 6] << 8)
-                           | ((uint32_t)buf[off + 7] << 16)
-                           | ((uint32_t)buf[off + 8] << 24);
-        if (n - off - 9 < (int64_t)len) break;
-        opcodes[count] = opcode;
-        stream_ids[count] = sid;
-        payload_offs[count] = off + 9;
-        payload_lens[count] = len;
-        off += 9 + (int64_t)len;
-        count++;
-    }
-    *consumed = off;
-    return count;
 }
 
 }  // extern "C"

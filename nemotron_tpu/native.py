@@ -58,11 +58,6 @@ def _load():
         lib.frame_signal.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p]
-        lib.wire_parse.restype = ctypes.c_int64
-        lib.wire_parse.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -111,38 +106,3 @@ def frame_signal(buf: np.ndarray, n_frames: int, hop: int, frame_len: int,
         for t in range(n_frames):
             out[t] = buf[t * hop : t * hop + frame_len]
     return out
-
-
-def wire_parse(buf: bytes | np.ndarray, max_frames: int = 4096):
-    """Parse complete protocol frames. Returns (frames, consumed) where frames
-    is a list of (opcode, stream_id, payload_off, payload_len)."""
-    arr = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
-    n = arr.size
-    lib = _load()
-    if lib:
-        ops = np.empty(max_frames, np.uint8)
-        sids = np.empty(max_frames, np.uint32)
-        offs = np.empty(max_frames, np.int64)
-        lens = np.empty(max_frames, np.uint32)
-        consumed = ctypes.c_int64(0)
-        cnt = lib.wire_parse(
-            arr.ctypes.data, n, max_frames,
-            ops.ctypes.data, sids.ctypes.data, offs.ctypes.data,
-            lens.ctypes.data, ctypes.byref(consumed))
-        return (
-            [(int(ops[i]), int(sids[i]), int(offs[i]), int(lens[i]))
-             for i in range(cnt)],
-            int(consumed.value),
-        )
-    # python fallback
-    frames = []
-    off = 0
-    import struct
-
-    while len(frames) < max_frames and n - off >= 9:
-        opcode, sid, length = struct.unpack_from("<BII", arr, off)
-        if n - off - 9 < length:
-            break
-        frames.append((opcode, sid, off + 9, length))
-        off += 9 + length
-    return frames, off

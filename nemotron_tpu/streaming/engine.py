@@ -346,16 +346,19 @@ class EngineGroup:
         else:
             for j, i in enumerate(rows):
                 raw[j] = self.slots[i].take(PRIME_SAMPLES)
+        from .. import native
+
         mask = np.zeros(self.batch, dtype=bool)
         tails = np.zeros((self.batch, PP_TAIL_LEN), np.float32)
         lasts = np.zeros(self.batch, np.float32)
         for j, i in enumerate(rows):
-            f = _to_f32(raw[j])
-            emph = np.empty(PRIME_SAMPLES, np.float32)
-            emph[0] = f[0]
-            emph[1:] = f[1:] - PREEMPH * f[:-1]
+            # pre-emphasis with zero carry EXCEPT sample 0 passes through
+            # (preprocessor.cpp:344-356 start-of-stream semantics)
+            emph, last = native.pcm_to_f32_preemph(
+                raw[j], PREEMPH, float(raw[j, 0]) / 32768.0)
+            emph[0] = raw[j, 0] / 32768.0
             tails[i, PP_TAIL_LEN - PRIME_SAMPLES :] = emph
-            lasts[i] = f[-1]
+            lasts[i] = last
             mask[i] = True
             self.slots[i].primed = True
         with DEVICE_LOCK:

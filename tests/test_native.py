@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 from nemotron_tpu import native
-from nemotron_tpu.serving import protocol as P
 
 
 def test_native_builds():
@@ -39,34 +38,3 @@ def test_frame_signal_parity():
     out = native.frame_signal(buf, n_frames=10, hop=160, frame_len=512)
     for t in range(10):
         np.testing.assert_array_equal(out[t], buf[t * 160 : t * 160 + 512])
-
-
-def test_wire_parse():
-    frames = (
-        P.pack(P.OP_STREAM_START, 0, b'{"right_context":0}')
-        + P.pack(P.OP_PUSH, 3, b"\x01\x02\x03\x04")
-        + P.pack(P.OP_STREAM_END, 3)
-    )
-    # add a trailing partial frame
-    partial = P.pack(P.OP_PUSH, 3, b"x" * 100)[:50]
-    buf = frames + partial
-    parsed, consumed = native.wire_parse(buf)
-    assert consumed == len(frames)
-    assert [(op, sid, ln) for op, sid, _off, ln in parsed] == [
-        (P.OP_STREAM_START, 0, 19),
-        (P.OP_PUSH, 3, 4),
-        (P.OP_STREAM_END, 3, 0),
-    ]
-    op, sid, off, ln = parsed[1]
-    assert buf[off : off + ln] == b"\x01\x02\x03\x04"
-
-
-def test_wire_parse_empty_and_garbage_lengths():
-    parsed, consumed = native.wire_parse(b"")
-    assert parsed == [] and consumed == 0
-    # header claims a huge payload that never arrives -> nothing consumed
-    import struct
-
-    buf = struct.pack("<BII", 2, 1, 1 << 30) + b"abc"
-    parsed, consumed = native.wire_parse(buf)
-    assert parsed == [] and consumed == 0
