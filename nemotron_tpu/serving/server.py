@@ -302,6 +302,13 @@ def main(argv=None) -> int:
                     help="benchmark plumbing: add this to the joint blank "
                          "logit bias (random-weight models emit ~nothing "
                          "without it; see bench.py)")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="compile every tick variant before accepting "
+                         "connections (the reference pre-builds all graphs "
+                         "at startup; avoids first-occurrence compile stalls "
+                         "mid-serving — can take minutes per latency mode "
+                         "through a remote compiler on first boot, cached "
+                         "after)")
     args = ap.parse_args(argv)
 
     from ..api import ASRModel
@@ -327,6 +334,9 @@ def main(argv=None) -> int:
         srv = NativeStreamServer(model, batch_per_group=args.batch,
                                  mem_budget=args.mem_budget)
         port = srv.start(args.host, args.port, args.unix)
+        if args.prewarm:  # early connects just queue until serve_forever
+            print("prewarming tick variants...", file=sys.stderr)
+            srv.engine.prewarm()
         print(f"listening on {args.unix or f'{args.host}:{port}'} (native)",
               file=sys.stderr)
         srv.serve_forever()
@@ -334,6 +344,9 @@ def main(argv=None) -> int:
 
     srv = StreamServer(model, batch_per_group=args.batch,
                        mem_budget=args.mem_budget)
+    if args.prewarm:
+        print("prewarming tick variants...", file=sys.stderr)
+        srv.engine.prewarm()
     asyncio.run(srv.serve(args.host, args.port, args.unix))
     return 0
 

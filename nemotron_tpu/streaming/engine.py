@@ -28,6 +28,7 @@ import os
 import threading
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -231,6 +232,62 @@ class EngineGroup:
         self.total_decoder_seconds = 0.0   # PHASE_TIMERS mode only
         self.total_audio_seconds = 0.0
         self.total_chunks = 0
+
+    def prewarm(self) -> None:
+        """Compile every tick variant before serving (the reference pre-builds
+        all graphs at startup, nemo-stream.cpp; through a remote compiler a
+        first-occurrence variant mid-serving would stall the whole group).
+
+        Covers: the all-active fast tick at every phase, the masked fast tick
+        at every phase (or the legacy gated tick), every realign delta, the
+        masked + unmasked wrap compactions, the k-chunk micro-batch programs,
+        and the frontend prime. Runs on garbage state — every slot is reset
+        when claimed, and phase bookkeeping is restored afterwards."""
+        b = self.batch
+        cfg = self.cfg
+        use_realign = GATED_REALIGN and not PHASE_TIMERS
+        k_cap = max_safe_tick_chunks(b)
+        mask_half = np.zeros(b, dtype=bool)
+        mask_half[: max(1, b // 2)] = True
+        with DEVICE_LOCK:
+            # frontend prime
+            self.state = self.model.prime_frontend(
+                self.state, mask_half, np.zeros((b, PP_TAIL_LEN), np.float32),
+                np.zeros(b, np.float32))
+            for k in {1, k_cap}:
+                for phase in range(cfg.n_phases):
+                    packed = self.model.pack_tick_inputs(
+                        np.zeros((b, k * cfg.shift_samples), np.int16),
+                        np.full(b, cfg.valid_out_len, np.int16),
+                        np.zeros(b, np.int16), None)
+                    packed_dev = jnp.asarray(packed)
+                    self.state, tokens = self.model.fused_tick_packed(
+                        cfg, self.state, packed_dev, True, phase=phase, k=k)
+                    if k == 1:
+                        packed = self.model.pack_tick_inputs(
+                            np.zeros((b, cfg.shift_samples), np.int16),
+                            np.full(b, cfg.valid_out_len, np.int16),
+                            np.zeros(b, np.int16), mask_half)
+                        packed_dev = jnp.asarray(packed)
+                        self.state, tokens = self.model.fused_tick_packed(
+                            cfg, self.state, packed_dev, False, phase=phase,
+                            k=1, fast_gated=use_realign)
+            np.asarray(tokens)  # force execution of the chain so far
+            if use_realign:
+                for delta in range(-(cfg.n_phases - 1), cfg.n_phases):
+                    if delta:
+                        self.state = self.model.realign_state(
+                            cfg, self.state, delta, mask_half)
+                self.state = self.model.compact_state(cfg, self.state,
+                                                      mask=mask_half)
+            self.state = self.model.compact_state(cfg, self.state)
+            # clear the garbage the prewarm chain left behind
+            self.state = reset_slots(
+                self.state, jnp.ones(b, dtype=bool), self.hp)
+            jax.block_until_ready(jax.tree.leaves(self.state)[0])
+        self.phase = 0
+        self.slot_phase[:] = 0
+        self.frame_offsets[:] = 0
 
     def has_free_slot(self) -> bool:
         return self.n_active_streams < self.batch
@@ -732,6 +789,18 @@ class BatchedEngine:
         self._groups_lock = threading.Lock()
         self._ids = itertools.count(1)
         self._route: dict[int, tuple[int, int]] = {}  # stream_id -> (rc, slot)
+
+    def prewarm(self, right_contexts=(0,)) -> None:
+        """Create the groups for these latency modes and compile every tick
+        variant up front (see EngineGroup.prewarm)."""
+        for rc in right_contexts:
+            rc = int(rc)
+            with self._groups_lock:
+                if rc not in self.groups:
+                    self.groups[rc] = EngineGroup(
+                        self.model, self.model.cache_config(rc), self.batch,
+                        source=self.source)
+            self.groups[rc].prewarm()
 
     def start_stream(self, right_context: int = 0, lang: str | None = None) -> int:
         rc = int(right_context)

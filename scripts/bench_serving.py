@@ -173,12 +173,13 @@ async def run_native(n_streams: int, secs: float, batch: int, chunk_ms: int,
     proc = await asyncio.create_subprocess_exec(
         sys.executable, "-m", "nemotron_tpu.serving.server", "random",
         "--native", "--bf16", "--port", str(port), "--batch", str(batch),
-        "--mem-budget", str(mem_budget), "--blank-bias", "2.4",
+        "--mem-budget", str(mem_budget), "--blank-bias", "2.4", "--prewarm",
         cwd=str(Path(__file__).resolve().parent.parent),
         stderr=asyncio.subprocess.PIPE)
     try:
-        while True:  # wait for the listener line (model load takes ~30 s)
-            line = await asyncio.wait_for(proc.stderr.readline(), timeout=300)
+        while True:  # wait for the listener line (model load ~30 s; first-
+            # boot prewarm can take many minutes through the remote compiler)
+            line = await asyncio.wait_for(proc.stderr.readline(), timeout=3600)
             if not line:
                 raise RuntimeError("server exited before listening")
             sys.stderr.buffer.write(line)

@@ -456,3 +456,34 @@ def test_engine_backlog_respects_batch_cap(monkeypatch):
     assert max_k == 2, "backlog never engaged the capped micro-batching"
     for i, sid in sids.items():
         assert texts[sid] == want[i]
+
+
+def test_engine_prewarm_then_serve():
+    """prewarm() compiles every tick variant on garbage state; streams
+    claimed afterwards must still be token-identical to sessions (slot
+    resets + phase bookkeeping must fully erase the prewarm)."""
+    model, hp = build_model()
+    engine = BatchedEngine(model, batch_per_group=2)
+    engine.prewarm(right_contexts=(0,))
+
+    audio = make_audio(8000, seed=9)
+    s = StreamSession(model, 0)
+    s.process_incremental(audio)
+    s.finalize()
+    want = s.transcript
+
+    sid = engine.start_stream(0)
+    engine.push_audio(sid, audio)
+    engine.end_stream(sid)
+    texts = ""
+    done = False
+    for _ in range(200):
+        events, more = engine.tick()
+        for e in events:
+            texts += e.text
+            if e.kind == "ended":
+                done = True
+        if done and not more:
+            break
+    assert done
+    assert texts == want
