@@ -6,6 +6,11 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# No persistent compilation cache in tests: CPU compiles are cheap, and many
+# concurrent test/bench processes sharing the cache dir can leave truncated
+# zstd entries that SEGFAULT the next reader (observed: jax
+# compilation_cache.get_executable_and_time crashing mid-suite).
+os.environ.setdefault("NEMOTRON_TPU_NO_COMPILE_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
