@@ -51,6 +51,19 @@ class ASRModel:
         while hp.subsampled_len(t) > hp.max_pos_len:
             t -= 8
         self.max_seg_mel_frames = t
+        # Per-INSTANCE cache of jitted step functions. Deliberately not
+        # functools.lru_cache on the methods: a class-level cache keys on
+        # `self` and pins every model ever built (plus all its compiled
+        # executables) for the life of the process — under long test runs the
+        # accumulated XLA:CPU JIT code eventually segfaulted the compiler.
+        # Here the executables die with the model.
+        self._fn_cache: dict = {}
+
+    def _memo(self, key, build):
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = self._fn_cache[key] = build()
+        return fn
 
     # ------------------------------------------------------------------
     @classmethod
@@ -89,50 +102,58 @@ class ASRModel:
         idx = self.prompt_dict.get(lang)
         return idx
 
-    @functools.lru_cache(maxsize=64)
     def _stream_step_fn(self, cfg: CacheConfig, batch: int, all_active: bool,
                         phase: int):
         hp = self.hp
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def fn(params, state, mel_chunk, n_valid, active, prompt_idx):
-            return stream_step(
-                params, state, mel_chunk, n_valid,
-                None if all_active else active,
-                prompt_idx if hp.num_prompts > 0 else None, hp=hp, cfg=cfg,
-                phase=phase,
-            )
+        def build():
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def fn(params, state, mel_chunk, n_valid, active, prompt_idx):
+                return stream_step(
+                    params, state, mel_chunk, n_valid,
+                    None if all_active else active,
+                    prompt_idx if hp.num_prompts > 0 else None, hp=hp,
+                    cfg=cfg, phase=phase,
+                )
 
-        return fn
+            return fn
 
-    @functools.lru_cache(maxsize=64)
+        return self._memo(("stream_step", cfg, batch, all_active, phase),
+                          build)
+
     def _compact_fn(self, cfg: CacheConfig, phase: int, masked: bool = False):
         from .models.encoder import compact_cache
 
         hp = self.hp
 
-        if masked:
-            @functools.partial(jax.jit, donate_argnums=(0, 1))
-            def fn(k, v, mask):
-                return compact_cache(cfg, hp, k, v, phase=phase, mask=mask)
-        else:
-            @functools.partial(jax.jit, donate_argnums=(0, 1))
-            def fn(k, v):
-                return compact_cache(cfg, hp, k, v, phase=phase)
+        def build():
+            if masked:
+                @functools.partial(jax.jit, donate_argnums=(0, 1))
+                def fn(k, v, mask):
+                    return compact_cache(cfg, hp, k, v, phase=phase,
+                                         mask=mask)
+            else:
+                @functools.partial(jax.jit, donate_argnums=(0, 1))
+                def fn(k, v):
+                    return compact_cache(cfg, hp, k, v, phase=phase)
 
-        return fn
+            return fn
 
-    @functools.lru_cache(maxsize=64)
+        return self._memo(("compact", cfg, phase, masked), build)
+
     def _realign_fn(self, cfg: CacheConfig, delta: int):
         from .models.encoder import realign_cache
 
         hp = self.hp
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def fn(k, v, mask):
-            return realign_cache(cfg, hp, k, v, delta, mask)
+        def build():
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def fn(k, v, mask):
+                return realign_cache(cfg, hp, k, v, delta, mask)
 
-        return fn
+            return fn
+
+        return self._memo(("realign", cfg, delta), build)
 
     def realign_state(self, cfg, state, delta: int, mask):
         """Move masked slots' K/V windows forward by `delta` phases (per-slot
@@ -157,25 +178,27 @@ class ASRModel:
         fn = self._stream_step_fn(cfg, b, all_active, phase)
         return fn(self.params, state, mel_chunk, n_valid, active, prompt_idx)
 
-    @functools.lru_cache(maxsize=64)
     def _fused_tick_fn(self, cfg: CacheConfig, batch: int, all_active: bool,
                        phase: int):
         from .models.asr import fused_serve_tick
 
         hp = self.hp
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def fn(params, state, audio_block, n_valid, active, prompt_idx):
-            return fused_serve_tick(
-                params, state, audio_block, n_valid,
-                None if all_active else active,
-                prompt_idx if hp.num_prompts > 0 else None, hp=hp, cfg=cfg,
-                phase=phase,
-            )
+        def build():
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def fn(params, state, audio_block, n_valid, active, prompt_idx):
+                return fused_serve_tick(
+                    params, state, audio_block, n_valid,
+                    None if all_active else active,
+                    prompt_idx if hp.num_prompts > 0 else None, hp=hp,
+                    cfg=cfg, phase=phase,
+                )
 
-        return fn
+            return fn
 
-    @functools.lru_cache(maxsize=128)
+        return self._memo(("fused_tick", cfg, batch, all_active, phase),
+                          build)
+
     def _fused_tick_packed_fn(self, cfg: CacheConfig, batch: int,
                               all_active: bool, phase: int, k: int,
                               fast_gated: bool = False):
@@ -184,30 +207,35 @@ class ASRModel:
         hp = self.hp
         shift = cfg.shift_samples
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def fn(params, state, packed):
-            # packed [B, k*shift+3] int16: audio | n_valid | prompt | active
-            # — ONE host->device transfer per tick instead of four (each
-            # upload through a tunneled TPU costs a full round-trip)
-            audio = packed[:, : k * shift]
-            n_valid = packed[:, k * shift].astype(jnp.int32)
-            prompt = packed[:, k * shift + 1].astype(jnp.int32)
-            act = packed[:, k * shift + 2] != 0
-            prompt_arg = prompt if hp.num_prompts > 0 else None
-            if k == 1:
-                return fused_serve_tick(
-                    params, state, audio, n_valid,
-                    None if all_active else act,
-                    prompt_arg, hp=hp, cfg=cfg, phase=phase,
-                    fast_gated=fast_gated,
+        def build():
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def fn(params, state, packed):
+                # packed [B, k*shift+3] int16: audio | n_valid | prompt |
+                # active — ONE host->device transfer per tick instead of four
+                # (each upload through a tunneled TPU costs a full round-trip)
+                audio = packed[:, : k * shift]
+                n_valid = packed[:, k * shift].astype(jnp.int32)
+                prompt = packed[:, k * shift + 1].astype(jnp.int32)
+                act = packed[:, k * shift + 2] != 0
+                prompt_arg = prompt if hp.num_prompts > 0 else None
+                if k == 1:
+                    return fused_serve_tick(
+                        params, state, audio, n_valid,
+                        None if all_active else act,
+                        prompt_arg, hp=hp, cfg=cfg, phase=phase,
+                        fast_gated=fast_gated,
+                    )
+                # backlog micro-batching: k chunks per dispatch (all-active)
+                return fused_serve_tick_multi(
+                    params, state, audio, n_valid, prompt_arg,
+                    hp=hp, cfg=cfg, k=k, phase=phase,
                 )
-            # backlog micro-batching: k chunks per dispatch (all-active only)
-            return fused_serve_tick_multi(
-                params, state, audio, n_valid, prompt_arg,
-                hp=hp, cfg=cfg, k=k, phase=phase,
-            )
 
-        return fn
+            return fn
+
+        return self._memo(
+            ("tick_packed", cfg, batch, all_active, phase, k, fast_gated),
+            build)
 
     @staticmethod
     def pack_tick_inputs(audio_block, n_valid, prompt_idx, active):
@@ -253,36 +281,41 @@ class ASRModel:
         fn = self._fused_tick_fn(cfg, b, all_active, phase)
         return fn(self.params, state, audio_block, n_valid, active, prompt_idx)
 
-    @functools.lru_cache(maxsize=64)
     def _fused_encode_fn(self, cfg: CacheConfig, batch: int, all_active: bool,
                          phase: int):
         from .models.asr import fused_encode_tick
 
         hp = self.hp
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def fn(params, state, audio_block, active, prompt_idx):
-            return fused_encode_tick(
-                params, state, audio_block,
-                None if all_active else active,
-                prompt_idx if hp.num_prompts > 0 else None, hp=hp, cfg=cfg,
-                phase=phase,
-            )
+        def build():
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def fn(params, state, audio_block, active, prompt_idx):
+                return fused_encode_tick(
+                    params, state, audio_block,
+                    None if all_active else active,
+                    prompt_idx if hp.num_prompts > 0 else None, hp=hp,
+                    cfg=cfg, phase=phase,
+                )
 
-        return fn
+            return fn
 
-    @functools.lru_cache(maxsize=8)
+        return self._memo(("fused_encode", cfg, batch, all_active, phase),
+                          build)
+
     def _decode_fn(self, all_active: bool):
         from .models.asr import decode_tick
 
         hp = self.hp
 
-        @jax.jit
-        def fn(params, state, enc, n_valid, active):
-            return decode_tick(params, state, enc, n_valid,
-                               None if all_active else active, hp=hp)
+        def build():
+            @jax.jit
+            def fn(params, state, enc, n_valid, active):
+                return decode_tick(params, state, enc, n_valid,
+                                   None if all_active else active, hp=hp)
 
-        return fn
+            return fn
+
+        return self._memo(("decode", all_active), build)
 
     def fused_tick_profiled(self, cfg, state, audio_block, n_valid, active,
                             prompt_idx=None, phase: int = 0):
@@ -311,15 +344,17 @@ class ASRModel:
         t2 = time.perf_counter()
         return state, tokens, t1 - t0, t2 - t1
 
-    @functools.lru_cache(maxsize=4)
     def _prime_fn(self):
         from .streaming.state import prime_frontend
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def fn(state, mask, tails, lasts):
-            return prime_frontend(state, mask, tails, lasts)
+        def build():
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def fn(state, mask, tails, lasts):
+                return prime_frontend(state, mask, tails, lasts)
 
-        return fn
+            return fn
+
+        return self._memo(("prime",), build)
 
     def prime_frontend(self, state, mask, tails, lasts):
         """Install frontend carries for newly joined slots (fused path)."""
@@ -350,18 +385,21 @@ class ASRModel:
         return init_stream_state(batch, self.hp, cfg, dtype=dtype)
 
     # ------------------------------------------------------------------
-    @functools.lru_cache(maxsize=32)
     def _batch_fn(self, t_mel: int, batch: int):
         hp = self.hp
 
-        @jax.jit
-        def fn(params, mel, n_frames, dec_state, prompt_idx):
-            return transcribe_batch(
-                params, mel, hp=hp, n_frames=n_frames, dec_state=dec_state,
-                prompt_idx=prompt_idx if hp.num_prompts > 0 else None,
-            )
+        def build():
+            @jax.jit
+            def fn(params, mel, n_frames, dec_state, prompt_idx):
+                return transcribe_batch(
+                    params, mel, hp=hp, n_frames=n_frames,
+                    dec_state=dec_state,
+                    prompt_idx=prompt_idx if hp.num_prompts > 0 else None,
+                )
 
-        return fn
+            return fn
+
+        return self._memo(("batch", t_mel, batch), build)
 
     def transcribe_mel(self, mel: np.ndarray, prompt_index: int | None = None):
         """Offline transcription of a full mel sequence [T, n_mels].

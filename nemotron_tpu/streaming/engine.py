@@ -243,17 +243,29 @@ class EngineGroup:
         masked + unmasked wrap compactions, the k-chunk micro-batch programs,
         and the frontend prime. Runs on garbage state — every slot is reset
         when claimed, and phase bookkeeping is restored afterwards."""
+        import sys as _sys
+        import time as _time
+
         b = self.batch
         cfg = self.cfg
         use_realign = GATED_REALIGN and not PHASE_TIMERS
         k_cap = max_safe_tick_chunks(b)
         mask_half = np.zeros(b, dtype=bool)
         mask_half[: max(1, b // 2)] = True
+        _t0 = _time.time()
+
+        def _mark(what: str) -> None:
+            # one line per variant: keeps remote-compile progress observable
+            # (and any parent reading our stderr from starving on a quiet pipe)
+            print(f"[prewarm +{_time.time() - _t0:6.1f}s] {what}",
+                  file=_sys.stderr, flush=True)
+
         with DEVICE_LOCK:
             # frontend prime
             self.state = self.model.prime_frontend(
                 self.state, mask_half, np.zeros((b, PP_TAIL_LEN), np.float32),
                 np.zeros(b, np.float32))
+            _mark("prime")
             for k in {1, k_cap}:
                 for phase in range(cfg.n_phases):
                     packed = self.model.pack_tick_inputs(
@@ -263,6 +275,7 @@ class EngineGroup:
                     packed_dev = jnp.asarray(packed)
                     self.state, tokens = self.model.fused_tick_packed(
                         cfg, self.state, packed_dev, True, phase=phase, k=k)
+                    _mark(f"tick k={k} phase={phase} all-active")
                     if k == 1:
                         packed = self.model.pack_tick_inputs(
                             np.zeros((b, cfg.shift_samples), np.int16),
@@ -272,15 +285,19 @@ class EngineGroup:
                         self.state, tokens = self.model.fused_tick_packed(
                             cfg, self.state, packed_dev, False, phase=phase,
                             k=1, fast_gated=use_realign)
+                        _mark(f"tick k=1 phase={phase} masked")
             np.asarray(tokens)  # force execution of the chain so far
             if use_realign:
                 for delta in range(-(cfg.n_phases - 1), cfg.n_phases):
                     if delta:
                         self.state = self.model.realign_state(
                             cfg, self.state, delta, mask_half)
+                        _mark(f"realign delta={delta}")
                 self.state = self.model.compact_state(cfg, self.state,
                                                       mask=mask_half)
+                _mark("compact masked")
             self.state = self.model.compact_state(cfg, self.state)
+            _mark("compact")
             # clear the garbage the prewarm chain left behind
             self.state = reset_slots(
                 self.state, jnp.ones(b, dtype=bool), self.hp)
