@@ -48,6 +48,10 @@ SCAN_LAYERS = os.environ.get("NEMOTRON_TPU_SCAN_LAYERS", "0") == "1"
 # gives Mosaic the projection matmuls to hide the cache streaming behind).
 PALLAS_ATTN_BLOCK = os.environ.get(
     "NEMOTRON_TPU_PALLAS_ATTN_BLOCK", "0") == "1"
+# sub-row tile: larger -> fewer grid steps (less per-step overhead) but a
+# bigger double-buffered K/V slab (VMEM)
+PALLAS_ATTN_BLOCK_BS = int(os.environ.get(
+    "NEMOTRON_TPU_PALLAS_ATTN_BLOCK_BS", "8"))
 
 
 def conformer_layer(
@@ -313,6 +317,7 @@ def stream_encode_step(
                         lp.attn_out_w, lp.pos_bias_u, lp.pos_bias_v,
                         pp, mask_full, kc, vc,
                         n_heads=hp.n_heads, d_head=hp.d_head,
+                        bb_sub=PALLAS_ATTN_BLOCK_BS,
                         interpret=_pallas_interpret())
                     return (out2[:, None, :], kn[:, :, None, :],
                             vn[:, :, None, :])
