@@ -148,8 +148,11 @@ def run(batch_sizes=(256, 384, 512, 768), dtype=jnp.bfloat16, steps=20,
             if best is None or streams > best["streams"]:
                 best = {"B": B, "step_time": step_time, "streams": streams}
         except Exception as e:  # OOM at large B etc.
-            print(f"B={B}: failed: {type(e).__name__}: {e}", file=sys.stderr)
-            break
+            msg = str(e)
+            print(f"B={B}: failed: {type(e).__name__}: "
+                  f"{msg[:300]}{'...' if len(msg) > 300 else ''}",
+                  file=sys.stderr)
+            continue  # a smaller B later in the list may still fit
     return best
 
 
@@ -173,13 +176,20 @@ def main():
     best = run(batch_sizes=batches, int8=args.int8,
                right_context=args.right_context)
     if best is not None and args.sweep:
+        # larger R = longer K/V buffers: the best R=0 batch can exceed HBM
+        # (B=768 at R=6 needs 20+ GB to compile), so fall back to smaller
+        # batches until one fits
+        candidates = [b for b in (best["B"], 512, 384, 256)
+                      if b <= best["B"]]
+        candidates = list(dict.fromkeys(candidates))
         for rc in (1, 6, 13):
-            r = run(batch_sizes=(best["B"],), int8=args.int8,
-                    right_context=rc)
-            if r:
-                print(f"[sweep] R={rc}: B={r['B']} "
-                      f"step={r['step_time'] * 1e3:.2f} ms -> "
-                      f"{r['streams']:.0f} rt streams", file=sys.stderr)
+            for b in candidates:
+                r = run(batch_sizes=(b,), int8=args.int8, right_context=rc)
+                if r:
+                    print(f"[sweep] R={rc}: B={r['B']} "
+                          f"step={r['step_time'] * 1e3:.2f} ms -> "
+                          f"{r['streams']:.0f} rt streams", file=sys.stderr)
+                    break
     if best is None:
         print(json.dumps({"metric": "concurrent_realtime_streams_80ms",
                           "value": 0, "unit": "streams/chip", "vs_baseline": 0.0}))

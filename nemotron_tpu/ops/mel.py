@@ -72,6 +72,34 @@ def frame_signal(audio, n_frames: int):
     return jnp.stack(frames, axis=-2)
 
 
+def frame_signal_bulk(audio, n_frames: int):
+    """Equivalent to frame_signal for large n_frames (offline path).
+
+    Builds the overlapping [..., n_frames, n_fft] frame tensor from
+    ceil(n_fft/hop) shifted reshaped views instead of n_frames stacked
+    slices: frame t = concat(block[t], block[t+1], ..., head of block[t+q]),
+    where blocks are the hop-strided reshape of the signal. The slice count
+    is constant (4 at 512/160), so the offline graph stays small at
+    thousands of frames; numerically identical to frame_signal.
+    """
+    q, r = divmod(N_FFT, HOP)  # frame = q full hop-blocks + r remainder
+    n_blocks = n_frames + q + (1 if r else 0)
+    need = n_blocks * HOP
+    pad = need - audio.shape[-1]
+    if pad > 0:
+        widths = [(0, 0)] * (audio.ndim - 1) + [(0, pad)]
+        audio = jnp.pad(audio, widths)
+    blocks = audio[..., :need].reshape(*audio.shape[:-1], n_blocks, HOP)
+    parts = [
+        jax.lax.slice_in_dim(blocks, i, i + n_frames, axis=-2)
+        for i in range(q)
+    ]
+    if r:
+        tail = jax.lax.slice_in_dim(blocks, q, q + n_frames, axis=-2)
+        parts.append(tail[..., :r])
+    return jnp.concatenate(parts, axis=-1)
+
+
 def preemphasis(audio, last_sample):
     """audio: [..., N] float; last_sample: [...] carried from previous call."""
     prev = jnp.concatenate(

@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Offline (batch) transcription throughput per chip.
+
+The reference's other headline benchmark family is offline batch RTF:
+20 s of audio in 2.0 s on an RTX 4080 (RTF 0.10x, docs/STATUS.md:18) and
+0.21-0.29x on CPU. This measures our equivalent: the full offline path
+(raw PCM -> device mel via DFT matmuls -> full-context encoder ->
+on-device greedy RNNT) batched over B utterances, as one jitted program
+per (B, length) -- the TPU-native counterpart of nemo_transcribe_audio
+(reference src/nemo-ggml.cpp:1721-1819), which runs one utterance at a
+time and decodes symbol-by-symbol through the host.
+
+Methodology matches bench.py (axon quirks): never-repeated PCM inputs
+(execution memoization), decoder state chained across steps so ONE final
+fetch syncs the whole timed window, warmup fetch per program.
+
+Prints one JSON line: offline audio-seconds transcribed per wall second
+per chip (= x-realtime). vs_baseline is against the reference's best
+(RTX 4080, 10 audio-sec/sec).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
+BASELINE_AUDIO_SEC_PER_SEC = 1.0 / 0.10  # RTX 4080 batch RTF (BASELINE.md)
+
+
+def run(batch_sizes=(16, 32, 64, 96), utt_seconds=20.0, steps=8,
+        dtype=jnp.bfloat16):
+    import dataclasses as _dc
+    import functools
+
+    from nemotron_tpu.config import Hparams
+    from nemotron_tpu.models.asr import transcribe_batch
+    from nemotron_tpu.models.decoder import init_decode_state
+    from nemotron_tpu.ops.mel import (
+        HOP, N_FFT, frame_signal_bulk, mel_from_frames, padded_window,
+        preemphasis,
+    )
+
+    hp = Hparams()
+    dev = jax.devices()[0]
+    print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
+
+    params = random_params_biased(hp, dtype)
+
+    n_samples = int(utt_seconds * 16000)
+    # center pre-pad (n_fft/2) like the stream preprocessor's initial state
+    n_mel = (N_FFT // 2 + n_samples - N_FFT) // HOP + 1
+    n_sub = hp.subsampled_len(n_mel)
+    window512 = padded_window(np.asarray(params.preproc.window, np.float32))
+    fb = jnp.asarray(np.asarray(params.preproc.filterbank, np.float32))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def offline_step(params, audio_i16, dec_state):
+        audio = audio_i16.astype(jnp.float32) * (1.0 / 32768.0)
+        emph = preemphasis(audio, jnp.zeros(audio.shape[:-1], jnp.float32))
+        buf = jnp.pad(emph, ((0, 0), (N_FFT // 2, 0)))
+        frames = frame_signal_bulk(buf, n_mel)
+        mel = mel_from_frames(frames, window512, fb)
+        b = mel.shape[0]
+        n_frames = jnp.full((b,), n_sub, jnp.int32)
+        tokens, dec_state = transcribe_batch(
+            params, mel.astype(dtype), hp=hp, n_frames=n_frames,
+            dec_state=dec_state)
+        return tokens, dec_state
+
+    best = None
+    for B in batch_sizes:
+        try:
+            rng = np.random.default_rng(1)
+            pcm = [
+                jnp.asarray((rng.uniform(-0.3, 0.3, (B, n_samples))
+                             * 32767).astype(np.int16))
+                for _ in range(steps + 2)
+            ]
+            dec_state = init_decode_state(B, hp, dtype=dtype)
+            i = [0]
+
+            def one(dec_state):
+                tokens, dec_state = offline_step(params, pcm[i[0]], dec_state)
+                i[0] += 1
+                return tokens, dec_state
+
+            t0 = time.time()
+            tokens, dec_state = one(dec_state)
+            np.asarray(tokens)
+            compile_s = time.time() - t0
+            tokens, dec_state = one(dec_state)
+            np.asarray(tokens)
+
+            t0 = time.time()
+            for _ in range(steps):
+                tokens, dec_state = one(dec_state)
+            np.asarray(tokens)
+            step_time = (time.time() - t0) / steps
+
+            audio_per_sec = B * utt_seconds / step_time
+            rtf = step_time / (B * utt_seconds)
+            print(
+                f"B={B}: {utt_seconds:.0f}s utts, step={step_time * 1e3:.1f} ms"
+                f"  compile={compile_s:.1f}s  per-utt RTF={rtf:.6f}"
+                f"  -> {audio_per_sec:.0f} audio-sec/sec", file=sys.stderr)
+            if best is None or audio_per_sec > best["audio_per_sec"]:
+                best = {"B": B, "step_time": step_time,
+                        "audio_per_sec": audio_per_sec}
+        except Exception as e:
+            msg = str(e)
+            print(f"B={B}: failed: {type(e).__name__}: {msg[:300]}",
+                  file=sys.stderr)
+            continue
+    return best
+
+
+def random_params_biased(hp, dtype):
+    """Random full-size params with the joint blank-bias nudged so greedy
+    decode emits ~realistic token density (same rationale as bench.py)."""
+    import dataclasses as _dc
+
+    from nemotron_tpu.params import random_params
+
+    params = random_params(hp, seed=0, dtype=dtype)
+    out_b = params.joint.out_b.at[hp.blank_id].add(2.4)
+    return _dc.replace(params, joint=_dc.replace(params.joint, out_b=out_b))
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default=None,
+                    help="comma-separated batch sizes (default 16,32,64,96)")
+    ap.add_argument("--seconds", type=float, default=20.0,
+                    help="utterance length (default 20 s, the reference's "
+                         "headline measurement length)")
+    args = ap.parse_args()
+    batches = (tuple(int(x) for x in args.batches.split(","))
+               if args.batches else (16, 32, 64, 96))
+    best = run(batch_sizes=batches, utt_seconds=args.seconds)
+    if best is None:
+        print(json.dumps({"metric": "offline_audio_sec_per_sec", "value": 0,
+                          "unit": "audio-sec/sec/chip", "vs_baseline": 0.0}))
+        return 1
+    value = round(best["audio_per_sec"], 1)
+    print(json.dumps({
+        "metric": "offline_audio_sec_per_sec",
+        "value": value,
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

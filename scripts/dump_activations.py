@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("--right-context", type=int, default=0)
     ap.add_argument("--batch", action="store_true",
                     help="also dump the offline (batch) encoder path")
+    ap.add_argument("--per-layer", action="store_true",
+                    help="also dump every conformer layer's output on the "
+                         "batch path (the compare_layers.py / debug_* tap)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -96,6 +99,28 @@ def main() -> int:
             mel[None].astype(np.float32)))
         dump.append_dump_array(np.asarray(enc[0]),
                                str(out / "encoder_out_batch.bin"))
+
+    if args.per_layer:
+        # batch-path layer ladder (the role of the reference's
+        # compare_layers.py / debug_*.py one-offs): subsampling out, then
+        # every conformer layer's output, appended in order to one dump file
+        import jax
+
+        from nemotron_tpu.models.encoder import conformer_layer, pos_emb_slice
+
+        x = conv_subsampling(model.params.subsampling,
+                             jnp.asarray(mel[None].astype(np.float32)))
+        pe = pos_emb_slice(model.params.pos_emb, 2 * x.shape[1] - 1)
+        dump.append_dump_array(np.asarray(x[0]),
+                               str(out / "layers_batch.bin"))
+        for i in range(model.hp.n_layers):
+            lp = jax.tree_util.tree_map(lambda a, i=i: a[i],
+                                        model.params.layers)
+            x = conformer_layer(x, pe, lp, model.hp)
+            dump.append_dump_array(np.asarray(x[0]),
+                                   str(out / "layers_batch.bin"))
+        print(f"dumped subsampling + {model.hp.n_layers} layer outputs",
+              file=sys.stderr)
 
     print(f"dumps in {out}/ — diff with scripts/compare_tensors.py",
           file=sys.stderr)

@@ -121,3 +121,20 @@ def test_process_many_matches_individual():
             assert batched[i].shape == single.shape
             if single.size:
                 assert np.max(np.abs(batched[i] - single)) < 1e-5
+
+
+def test_frame_signal_bulk_matches_stacked_slices():
+    """The constant-slice-count bulk framing (offline path) is numerically
+    identical to the per-frame stacked-slice formulation."""
+    import jax.numpy as jnp
+
+    from nemotron_tpu.ops.mel import HOP, N_FFT, frame_signal, frame_signal_bulk
+
+    rng = np.random.default_rng(7)
+    for n_frames in (1, 4, 17, 53):
+        n_samples = (n_frames - 1) * HOP + N_FFT
+        for shape in ((n_samples,), (3, n_samples)):
+            audio = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+            a = np.asarray(frame_signal(audio, n_frames))
+            b = np.asarray(frame_signal_bulk(audio, n_frames))
+            np.testing.assert_array_equal(a, b)

@@ -80,6 +80,40 @@ def test_cluster_fixture_exporter_roundtrip(tmp_path):
     assert perm_invariant_accuracy(res.labels, labels) >= 0.95
 
 
+def test_dump_activations_all_taps(tmp_path, monkeypatch):
+    """Our side of the dump-and-diff loop covers every tap the reference's
+    ad-hoc scripts hardwired (gen_mel / compare_subsampling / compare_layers /
+    compare_outputs): one run dumps mel, per-chunk mel, subsampling, per-layer
+    and per-chunk encoder outs, batch encoder out and the transcript."""
+    from scripts_support import export_random_checkpoint
+
+    from helpers import tiny_hparams
+    from nemotron_tpu.utils import dump
+
+    hp = tiny_hparams()
+    gguf = tmp_path / "tiny.gguf"
+    export_random_checkpoint(hp, str(gguf), seed=7)
+    rng = np.random.default_rng(0)
+    audio = tmp_path / "a.pcm"
+    (rng.standard_normal(16000) * 1000).astype("<i2").tofile(audio)
+
+    import dump_activations
+
+    dump.reset()
+    out = tmp_path / "dumps"
+    monkeypatch.setattr(sys, "argv", [
+        "dump_activations.py", str(gguf), str(audio), str(out),
+        "--batch", "--per-layer"])
+    assert dump_activations.main() == 0
+
+    layers = dump.read_dump(str(out / "layers_batch.bin"))
+    assert layers.shape[0] == hp.n_layers + 1  # subsampling + every layer
+    for name in ("mel_full.bin", "mel_chunks.bin", "subsampled_chunks.bin",
+                 "encoder_out_chunks.bin", "encoder_out_batch.bin"):
+        assert dump.read_dump(str(out / name)).size > 0
+    assert (out / "transcript.txt").exists()
+
+
 def test_nemo_driver_exits_cleanly_without_nemo(tmp_path):
     """main() is import-guarded: without NeMo it reports and returns 2."""
     from nemo_dump_streaming import main
