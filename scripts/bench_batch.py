@@ -42,8 +42,7 @@ BASELINE_AUDIO_SEC_PER_SEC = 1.0 / 0.10  # RTX 4080 batch RTF (BASELINE.md)
 
 
 def run(batch_sizes=(16, 32, 64, 96), utt_seconds=20.0, steps=8,
-        dtype=jnp.bfloat16):
-    import dataclasses as _dc
+        dtype=jnp.bfloat16, hp=None):
     import functools
 
     from nemotron_tpu.config import Hparams
@@ -54,7 +53,7 @@ def run(batch_sizes=(16, 32, 64, 96), utt_seconds=20.0, steps=8,
         preemphasis,
     )
 
-    hp = Hparams()
+    hp = hp or Hparams()
     dev = jax.devices()[0]
     print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
 
@@ -149,10 +148,22 @@ def main():
     ap.add_argument("--seconds", type=float, default=20.0,
                     help="utterance length (default 20 s, the reference's "
                          "headline measurement length)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke mode: tiny model geometry, not a "
+                         "measurement")
     args = ap.parse_args()
     batches = (tuple(int(x) for x in args.batches.split(","))
                if args.batches else (16, 32, 64, 96))
-    best = run(batch_sizes=batches, utt_seconds=args.seconds)
+    hp = None
+    if args.tiny:
+        from nemotron_tpu.config import Hparams
+        hp = Hparams(
+            n_mels=32, d_model=64, n_heads=4, d_head=16, d_ff=96, n_layers=2,
+            kernel_size=5, vocab_size=33, decoder_dim=32, joint_dim=32,
+            subsampling_channels=16, att_left_context=8, num_prompts=0,
+            max_pos_len=512,
+        )
+    best = run(batch_sizes=batches, utt_seconds=args.seconds, hp=hp)
     if best is None:
         print(json.dumps({"metric": "offline_audio_sec_per_sec", "value": 0,
                           "unit": "audio-sec/sec/chip", "vs_baseline": 0.0}))
