@@ -260,6 +260,9 @@ bool process_rbuf_locked(Server* s, Conn* c) {
           c->parked = true;
           s->any_parked = true;
           epoll_update(s, c);
+          // frames consumed before parking may have set work: wake the
+          // engine now (the early return skips the end-of-loop notify)
+          if (s->work) s->work_cv.notify_all();
           return true;
         }
         Stream* st = it->second;
