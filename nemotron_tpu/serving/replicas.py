@@ -68,6 +68,8 @@ class ReplicaSet:
 
     def wait_ready(self, timeout: float = 300.0) -> None:
         """Block until every replica printed its listen line."""
+        import threading
+
         deadline = time.time() + timeout
         for p in self.procs:
             while True:
@@ -80,6 +82,17 @@ class ReplicaSet:
                 sys.stderr.buffer.write(line)
                 if b"listening" in line:
                     break
+            # keep draining this replica's stderr (stats lines every ~10 s):
+            # an unread PIPE fills its 64 KB buffer and then BLOCKS the
+            # replica's next stderr write, freezing its serving loop
+            threading.Thread(target=self._relay_stderr, args=(p,),
+                             daemon=True).start()
+
+    @staticmethod
+    def _relay_stderr(p) -> None:
+        for line in p.stderr:
+            sys.stderr.buffer.write(line)
+            sys.stderr.buffer.flush()
 
     def close(self) -> None:
         for p in self.procs:
@@ -230,8 +243,6 @@ def main(argv=None) -> int:
     try:
         rs.wait_ready()
         print(json.dumps({"replicas": [f"{h}:{p}" for h, p in rs.addrs]}))
-        for p in rs.procs:  # relay replica stderr until interrupted
-            pass
         while all(p.poll() is None for p in rs.procs):
             time.sleep(1.0)
         return 1  # a replica died
