@@ -58,6 +58,39 @@ class ASRModel:
         # accumulated XLA:CPU JIT code eventually segfaulted the compiler.
         # Here the executables die with the model.
         self._fn_cache: dict = {}
+        # Optional device mesh ('dp' over the stream batch, optional 'tp' over
+        # the big matmuls — parallel/mesh.py). None = single-device.
+        self.mesh = None
+
+    # ------------------------------------------------------------------
+    def shard(self, mesh) -> "ASRModel":
+        """Serve over a multi-chip mesh: parameters replicated over 'dp' (and
+        megatron-sharded over 'tp' if the mesh has one), every stream state
+        created by init_stream_state dp-sharded on the batch axis, and every
+        host input routed through put_batch dp-sharded the same way. One
+        engine then ticks N chips over ICI — the SPMD form of SURVEY §2.9's
+        "shard the stream batch across chips with pjit" (the reference is
+        strictly single-device, nemo-server.cpp:192)."""
+        from .parallel.mesh import param_shardings
+
+        self.mesh = mesh
+        self.params = jax.device_put(
+            self.params, param_shardings(self.params, mesh)
+        )
+        self._fn_cache.clear()  # executables compiled for the old placement
+        return self
+
+    def put_batch(self, arr):
+        """Host array -> device, axis 0 = the stream batch. On a mesh the
+        array is laid out dp-sharded so jit never reshards inputs mid-tick;
+        single-device it is a plain transfer."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        arr = np.asarray(arr)
+        spec = P(*(("dp",) + (None,) * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def _memo(self, key, build):
         fn = self._fn_cache.get(key)
@@ -159,7 +192,7 @@ class ASRModel:
         """Move masked slots' K/V windows forward by `delta` phases (per-slot
         realign-on-resume; see models.encoder.realign_cache)."""
         k, v = self._realign_fn(cfg, delta)(
-            state.k_cache, state.v_cache, jnp.asarray(mask))
+            state.k_cache, state.v_cache, self.put_batch(mask))
         import dataclasses
 
         return dataclasses.replace(state, k_cache=k, v_cache=v)
@@ -358,8 +391,8 @@ class ASRModel:
 
     def prime_frontend(self, state, mask, tails, lasts):
         """Install frontend carries for newly joined slots (fused path)."""
-        return self._prime_fn()(state, jnp.asarray(mask), jnp.asarray(tails),
-                                jnp.asarray(lasts))
+        return self._prime_fn()(state, self.put_batch(mask),
+                                self.put_batch(tails), self.put_batch(lasts))
 
     def compact_state(self, cfg, state, phase: int | None = None, mask=None):
         """Move the live K/V window back to phase 0. `phase` is the caller's
@@ -375,14 +408,24 @@ class ASRModel:
             k, v = self._compact_fn(cfg, phase)(state.k_cache, state.v_cache)
         else:
             k, v = self._compact_fn(cfg, phase, masked=True)(
-                state.k_cache, state.v_cache, jnp.asarray(mask))
+                state.k_cache, state.v_cache, self.put_batch(mask))
         import dataclasses
 
         return dataclasses.replace(state, k_cache=k, v_cache=v)
 
     def init_stream_state(self, batch: int, cfg: CacheConfig):
         dtype = self.params.pos_emb.dtype
-        return init_stream_state(batch, self.hp, cfg, dtype=dtype)
+        state = init_stream_state(batch, self.hp, cfg, dtype=dtype)
+        if self.mesh is not None:
+            from .parallel.mesh import state_shardings
+
+            n_dp = self.mesh.shape["dp"]
+            if batch % n_dp:
+                raise ValueError(
+                    f"stream batch {batch} must divide the mesh's dp={n_dp}"
+                )
+            state = jax.device_put(state, state_shardings(state, self.mesh))
+        return state
 
     # ------------------------------------------------------------------
     def _batch_fn(self, t_mel: int, batch: int):

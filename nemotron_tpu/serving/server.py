@@ -298,6 +298,13 @@ def main(argv=None) -> int:
                          " overhead")
     ap.add_argument("--mem-budget", type=int, default=P.DEFAULT_MEM_BUDGET,
                     help="global queued-PCM admission budget in bytes")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="shard the stream batch over this many chips (one "
+                         "engine ticks dp x tp devices over ICI; --batch must "
+                         "divide --dp)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="additionally megatron-shard the big matmuls over "
+                         "this many chips per dp shard")
     ap.add_argument("--blank-bias", type=float, default=0.0,
                     help="benchmark plumbing: add this to the joint blank "
                          "logit bias (random-weight models emit ~nothing "
@@ -327,6 +334,12 @@ def main(argv=None) -> int:
             args.blank_bias)
         model.params = dc.replace(
             model.params, joint=dc.replace(model.params.joint, out_b=out_b))
+
+    if args.dp * args.tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        model.shard(make_mesh(args.dp, args.tp))
+        print(f"mesh serving: dp={args.dp} x tp={args.tp}", file=sys.stderr)
 
     if args.native:
         from .native_server import NativeStreamServer

@@ -272,7 +272,7 @@ class EngineGroup:
                         np.zeros((b, k * cfg.shift_samples), np.int16),
                         np.full(b, cfg.valid_out_len, np.int16),
                         np.zeros(b, np.int16), None)
-                    packed_dev = jnp.asarray(packed)
+                    packed_dev = self.model.put_batch(packed)
                     self.state, tokens = self.model.fused_tick_packed(
                         cfg, self.state, packed_dev, True, phase=phase, k=k)
                     _mark(f"tick k={k} phase={phase} all-active")
@@ -281,7 +281,7 @@ class EngineGroup:
                             np.zeros((b, cfg.shift_samples), np.int16),
                             np.full(b, cfg.valid_out_len, np.int16),
                             np.zeros(b, np.int16), mask_half)
-                        packed_dev = jnp.asarray(packed)
+                        packed_dev = self.model.put_batch(packed)
                         self.state, tokens = self.model.fused_tick_packed(
                             cfg, self.state, packed_dev, False, phase=phase,
                             k=1, fast_gated=use_realign)
@@ -300,7 +300,8 @@ class EngineGroup:
             _mark("compact")
             # clear the garbage the prewarm chain left behind
             self.state = reset_slots(
-                self.state, jnp.ones(b, dtype=bool), self.hp)
+                self.state, self.model.put_batch(np.ones(b, dtype=bool)),
+                self.hp)
             jax.block_until_ready(jax.tree.leaves(self.state)[0])
         self.phase = 0
         self.slot_phase[:] = 0
@@ -355,7 +356,8 @@ class EngineGroup:
         mask = np.zeros(self.batch, dtype=bool)
         mask[resets] = True
         with DEVICE_LOCK:
-            self.state = reset_slots(self.state, jnp.asarray(mask), self.hp)
+            self.state = reset_slots(self.state, self.model.put_batch(mask),
+                                     self.hp)
         self.frame_offsets[resets] = 0
         # a fresh slot has no valid cache frames — trivially aligned to the
         # group's current phase
@@ -680,7 +682,8 @@ class EngineGroup:
                     )
                 self.phase = 0
             with DEVICE_LOCK:
-                active_arg = None if all_active else jnp.asarray(active)
+                active_arg = (None if all_active
+                              else self.model.put_batch(active))
             # snapshot per-slot stream ids at dispatch time: tokens read back
             # next tick are attributed only if the slot still holds the same
             # stream (drop + reuse between dispatch and readback otherwise
@@ -693,9 +696,9 @@ class EngineGroup:
             if PHASE_TIMERS:
                 t_up = time.perf_counter()
                 with DEVICE_LOCK:
-                    block_dev = jnp.asarray(block)
-                    n_valid_dev = jnp.asarray(n_valid)
-                    prompt_dev = jnp.asarray(prompt_idx)
+                    block_dev = self.model.put_batch(block)
+                    n_valid_dev = self.model.put_batch(n_valid)
+                    prompt_dev = self.model.put_batch(prompt_idx)
                 self.total_upload_seconds += time.perf_counter() - t_up
                 t_disp = time.perf_counter()
                 self.state, tokens, t_enc, t_dec = self.model.fused_tick_profiled(
@@ -719,7 +722,7 @@ class EngineGroup:
 
                 def _upload(arr=packed):
                     with DEVICE_LOCK:
-                        return jnp.asarray(arr)
+                        return self.model.put_batch(arr)
 
                 fut = self._uploader.submit(_upload)
                 events.extend(self._drain_pending(force_all=False))
