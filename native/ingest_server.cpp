@@ -64,6 +64,11 @@ constexpr uint8_t OP_ACK = 0x82;
 constexpr uint8_t OP_ERROR = 0x8F;
 constexpr size_t HEADER_SIZE = 9;
 constexpr uint32_t MAX_PAYLOAD = 64u << 20;
+// Control payloads (START config JSON, language codes) are clamped so the
+// head of the control queue always fits Python's poll buffer (1 MB in
+// serving/ingest.py) — an oversized event could otherwise never drain and
+// would wedge stream admission behind it forever.
+constexpr size_t MAX_CTRL_PAYLOAD = 64u << 10;
 
 // ---- control events forwarded to Python ------------------------------------
 constexpr uint8_t EV_START = 1;     // payload: START JSON config
@@ -122,6 +127,8 @@ struct Conn {
   size_t woff = 0;  // progress into wq.front()
   bool parked = false;     // reading paused (admission budget)
   bool want_write = false; // EPOLLOUT registered
+  size_t push_done = 0;    // samples of the PUSH at rpos already staged
+                           // (partial admission across park/unpark)
   std::vector<uint32_t> sids;
 };
 
@@ -202,15 +209,18 @@ void flush_writes_locked(Server* s, Conn* c) {
   }
 }
 
+void unpark_all_locked(Server* s);
+
 void close_conn_locked(Server* s, Conn* c) {
   epoll_ctl(s->epfd, EPOLL_CTL_DEL, c->fd, nullptr);
   close(c->fd);
   s->conns.erase(c->id);
   // abandon this connection's streams: free their budget, tell Python
+  int64_t freed = 0;
   for (uint32_t sid : c->sids) {
     auto it = s->streams.find(sid);
     if (it != s->streams.end()) {
-      s->used_bytes -= (int64_t)(it->second->ring.size() * sizeof(int16_t));
+      freed += (int64_t)(it->second->ring.size() * sizeof(int16_t));
       delete it->second;
       s->streams.erase(it);
     }
@@ -218,6 +228,12 @@ void close_conn_locked(Server* s, Conn* c) {
   }
   bool had = !c->sids.empty();
   delete c;
+  if (freed > 0) {
+    s->used_bytes -= freed;
+    // connections parked on the admission budget must see the release —
+    // nothing else retriggers them if the dead conn held all the budget
+    unpark_all_locked(s);
+  }
   if (had) {
     s->work = true;
     s->work_cv.notify_all();
@@ -254,41 +270,61 @@ bool process_rbuf_locked(Server* s, Conn* c) {
       auto it = s->streams.find(sid);
       // stale-session DATA is ignored (reference: nemo-server.cpp:233)
       if (it != s->streams.end()) {
-        // admission budget: park the connection instead of consuming the
-        // frame; retried when the engine frees budget (take/drop)
-        if (s->used_bytes + (int64_t)len > s->budget_bytes) {
+        // admission budget with PARTIAL admission: stage as many of the
+        // frame's samples as fit, then park the connection; the same frame
+        // resumes (from push_done) when the engine frees budget. All-or-
+        // nothing admission wedges: the engine only takes whole chunks, so
+        // every ring keeps a sub-chunk tail and used_bytes never returns to
+        // zero — a frame larger than the remaining headroom would park
+        // forever. (The reference never holds tails: its worker drains ALL
+        // queued PCM per DATA event, nemo-server.cpp:230-239.)
+        Stream* st = it->second;
+        size_t total = len / sizeof(int16_t);
+        int64_t free_bytes = s->budget_bytes - s->used_bytes;
+        size_t fit = free_bytes > 0
+                         ? (size_t)(free_bytes / (int64_t)sizeof(int16_t))
+                         : 0;
+        size_t take = std::min(total - c->push_done, fit);
+        if (take > 0) {
+          st->ring.append(
+              reinterpret_cast<const int16_t*>(payload) + c->push_done, take);
+          st->total_pushed += take;
+          s->used_bytes += (int64_t)(take * sizeof(int16_t));
+          c->push_done += take;
+          s->work = true;  // the engine may have a runnable chunk now
+        }
+        if (c->push_done < total) {
           c->parked = true;
           s->any_parked = true;
           epoll_update(s, c);
-          // frames consumed before parking may have set work: wake the
+          // samples staged before parking may have set work: wake the
           // engine now (the early return skips the end-of-loop notify)
           if (s->work) s->work_cv.notify_all();
           return true;
         }
-        Stream* st = it->second;
-        size_t n = len / sizeof(int16_t);
-        st->ring.append(reinterpret_cast<const int16_t*>(payload), n);
-        st->total_pushed += n;
-        s->used_bytes += (int64_t)(n * sizeof(int16_t));
+        c->push_done = 0;
         char ack[64];
         int alen = snprintf(ack, sizeof(ack), "{\"queued_samples\": %zu}",
                             st->ring.size());
         enqueue_frame_locked(s, c, OP_ACK, sid,
                              reinterpret_cast<const uint8_t*>(ack),
                              (size_t)alen);
-        s->work = true;  // the engine may have a runnable chunk now
+      } else {
+        c->push_done = 0;  // stale frame: drop any partial bookkeeping
       }
     } else if (opcode == OP_STREAM_START) {
+      size_t plen = std::min((size_t)len, MAX_CTRL_PAYLOAD);
       s->control.push_back(ControlEvent{
-          EV_START, c->id, 0, std::vector<uint8_t>(payload, payload + len)});
+          EV_START, c->id, 0, std::vector<uint8_t>(payload, payload + plen)});
       s->work = true;
     } else if (opcode == OP_STREAM_END) {
       s->control.push_back(ControlEvent{EV_END, c->id, sid, {}});
       s->work = true;
     } else if (opcode == OP_SET_LANG) {
+      size_t plen = std::min((size_t)len, MAX_CTRL_PAYLOAD);
       s->control.push_back(ControlEvent{
           EV_SET_LANG, c->id, sid,
-          std::vector<uint8_t>(payload, payload + len)});
+          std::vector<uint8_t>(payload, payload + plen)});
       s->work = true;
     } else {
       char msg[40];
@@ -501,15 +537,18 @@ int64_t ingest_poll_control(uint8_t* types, uint64_t* conns, uint32_t* sids,
   int64_t off = 0;
   while (count < max_events && !s->control.empty()) {
     ControlEvent& e = s->control.front();
-    if (off + (int64_t)e.payload.size() > payload_cap) break;
+    int64_t plen = (int64_t)e.payload.size();
+    // payloads are clamped to MAX_CTRL_PAYLOAD at enqueue; truncate anyway
+    // rather than let an oversized head wedge the queue forever
+    if (plen > payload_cap) plen = payload_cap;
+    if (count > 0 && off + plen > payload_cap) break;
     types[count] = e.type;
     conns[count] = e.conn;
     sids[count] = e.sid;
     payload_offs[count] = off;
-    payload_lens[count] = (int64_t)e.payload.size();
-    if (!e.payload.empty())
-      std::memcpy(payload_buf + off, e.payload.data(), e.payload.size());
-    off += (int64_t)e.payload.size();
+    payload_lens[count] = plen;
+    if (plen) std::memcpy(payload_buf + off, e.payload.data(), (size_t)plen);
+    off += plen;
     count++;
     s->control.pop_front();
   }
@@ -552,7 +591,13 @@ void ingest_send(uint64_t conn, uint8_t opcode, uint32_t sid,
 void ingest_status(const uint32_t* sids, int64_t n, int64_t* staged,
                    uint64_t* total_pushed) {
   Server* s = g_srv;
-  if (!s) return;
+  if (!s) {  // stopped: report every stream gone (callers pass np.empty)
+    for (int64_t i = 0; i < n; i++) {
+      staged[i] = -1;
+      total_pushed[i] = 0;
+    }
+    return;
+  }
   std::lock_guard<std::mutex> lk(s->mu);
   for (int64_t i = 0; i < n; i++) {
     auto it = s->streams.find(sids[i]);

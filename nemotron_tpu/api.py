@@ -422,7 +422,8 @@ class ASRModel:
             n_dp = self.mesh.shape["dp"]
             if batch % n_dp:
                 raise ValueError(
-                    f"stream batch {batch} must divide the mesh's dp={n_dp}"
+                    f"stream batch {batch} must be divisible by the mesh's "
+                    f"dp={n_dp}"
                 )
             state = jax.device_put(state, state_shardings(state, self.mesh))
         return state

@@ -102,6 +102,18 @@ class NativeIngest:
         self.port = int(bound)
         self.unix_path = unix_path
         self._stopped = False
+        # poll_control scratch, allocated once: it runs twice per iteration
+        # of the serving loop, and a fresh 1 MB buffer per call is pure
+        # allocator churn on the latency-critical engine thread. Only that
+        # thread polls (engine owns all control flow), so reuse is safe.
+        self._pc_max = 512
+        self._pc_types = np.empty(self._pc_max, np.uint8)
+        self._pc_conns = np.empty(self._pc_max, np.uint64)
+        self._pc_sids = np.empty(self._pc_max, np.uint32)
+        self._pc_cap = 1 << 20
+        self._pc_buf = np.empty(self._pc_cap, np.uint8)
+        self._pc_offs = np.empty(self._pc_max, np.int64)
+        self._pc_lens = np.empty(self._pc_max, np.int64)
 
     def stop(self) -> None:
         if not self._stopped:
@@ -112,18 +124,14 @@ class NativeIngest:
         """Sleep until ingest work arrives (or timeout). GIL-free."""
         return bool(self._lib.ingest_wait(timeout_ms))
 
-    def poll_control(self, max_events: int = 512):
-        """Drain control events -> list of (type, conn, sid, payload bytes)."""
-        types = np.empty(max_events, np.uint8)
-        conns = np.empty(max_events, np.uint64)
-        sids = np.empty(max_events, np.uint32)
-        cap = 1 << 20
-        buf = np.empty(cap, np.uint8)
-        offs = np.empty(max_events, np.int64)
-        lens = np.empty(max_events, np.int64)
+    def poll_control(self):
+        """Drain control events -> list of (type, conn, sid, payload bytes).
+        Engine-thread only (reuses per-instance scratch buffers)."""
+        types, conns, sids = self._pc_types, self._pc_conns, self._pc_sids
+        buf, offs, lens = self._pc_buf, self._pc_offs, self._pc_lens
         n = self._lib.ingest_poll_control(
             types.ctypes.data, conns.ctypes.data, sids.ctypes.data,
-            max_events, buf.ctypes.data, cap, offs.ctypes.data,
+            self._pc_max, buf.ctypes.data, self._pc_cap, offs.ctypes.data,
             lens.ctypes.data)
         out = []
         for i in range(n):

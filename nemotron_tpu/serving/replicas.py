@@ -68,20 +68,32 @@ class ReplicaSet:
 
     def wait_ready(self, timeout: float = 300.0) -> None:
         """Block until every replica printed its listen line."""
+        import selectors
         import threading
 
         deadline = time.time() + timeout
         for p in self.procs:
-            while True:
-                if time.time() > deadline:
-                    raise TimeoutError("replica did not become ready")
-                line = p.stderr.readline()
-                if not line:
-                    raise RuntimeError(
-                        f"replica exited with {p.poll()} before listening")
-                sys.stderr.buffer.write(line)
-                if b"listening" in line:
-                    break
+            # select before readline: a replica that hangs before printing
+            # anything (e.g. import jax wedging at backend init during a
+            # tunnel outage) must trip the timeout, not block forever
+            sel = selectors.DefaultSelector()
+            sel.register(p.stderr, selectors.EVENT_READ)
+            try:
+                while True:
+                    left = deadline - time.time()
+                    if left <= 0:
+                        raise TimeoutError("replica did not become ready")
+                    if not sel.select(timeout=min(left, 1.0)):
+                        continue
+                    line = p.stderr.readline()
+                    if not line:
+                        raise RuntimeError(
+                            f"replica exited with {p.poll()} before listening")
+                    sys.stderr.buffer.write(line)
+                    if b"listening" in line:
+                        break
+            finally:
+                sel.close()
             # keep draining this replica's stderr (stats lines every ~10 s):
             # an unread PIPE fills its 64 KB buffer and then BLOCKS the
             # replica's next stderr write, freezing its serving loop
@@ -122,7 +134,11 @@ class RoutedClient:
     replica, so push/end/receive route transparently.
     """
 
-    _REP_SHIFT = 24  # handle = (replica_idx << 24) | replica-local sid
+    # handle = (replica_idx << 32) | replica-local sid. Stream ids are u32 on
+    # the wire (server-protocol.h), so 32 bits holds every possible sid —
+    # a narrower shift would alias long-lived replicas' high sids across
+    # replicas. Handles are plain Python ints, never serialized.
+    _REP_SHIFT = 32
 
     def __init__(self, clients: list[StreamClient]):
         self.clients = clients

@@ -266,27 +266,49 @@ class EngineGroup:
                 self.state, mask_half, np.zeros((b, PP_TAIL_LEN), np.float32),
                 np.zeros(b, np.float32))
             _mark("prime")
-            for k in {1, k_cap}:
+            if PHASE_TIMERS:
+                # profiling mode dispatches fused_tick_profiled (two-program
+                # encoder/decoder split), never the packed programs
+                block = self.model.put_batch(
+                    np.zeros((b, cfg.shift_samples), np.int16))
+                nv = self.model.put_batch(np.full(b, cfg.valid_out_len,
+                                                  np.int32))
+                prompt = self.model.put_batch(np.zeros(b, np.int32))
                 for phase in range(cfg.n_phases):
-                    packed = self.model.pack_tick_inputs(
-                        np.zeros((b, k * cfg.shift_samples), np.int16),
-                        np.full(b, cfg.valid_out_len, np.int16),
-                        np.zeros(b, np.int16), None)
-                    packed_dev = self.model.put_batch(packed)
-                    self.state, tokens = self.model.fused_tick_packed(
-                        cfg, self.state, packed_dev, True, phase=phase, k=k)
-                    _mark(f"tick k={k} phase={phase} all-active")
-                    if k == 1:
+                    self.state, tokens, _, _ = self.model.fused_tick_profiled(
+                        cfg, self.state, block, nv, None, prompt, phase=phase)
+                    _mark(f"profiled tick phase={phase} all-active")
+                # gated ticks run phase-stationary at 0 in this mode
+                self.state, tokens, _, _ = self.model.fused_tick_profiled(
+                    cfg, self.state, block, nv, self.model.put_batch(mask_half),
+                    prompt, phase=0)
+                _mark("profiled tick phase=0 masked")
+            else:
+                for k in {1, k_cap}:
+                    for phase in range(cfg.n_phases):
                         packed = self.model.pack_tick_inputs(
-                            np.zeros((b, cfg.shift_samples), np.int16),
+                            np.zeros((b, k * cfg.shift_samples), np.int16),
                             np.full(b, cfg.valid_out_len, np.int16),
-                            np.zeros(b, np.int16), mask_half)
+                            np.zeros(b, np.int16), None)
                         packed_dev = self.model.put_batch(packed)
                         self.state, tokens = self.model.fused_tick_packed(
-                            cfg, self.state, packed_dev, False, phase=phase,
-                            k=1, fast_gated=use_realign)
-                        _mark(f"tick k=1 phase={phase} masked")
-            np.asarray(tokens)  # force execution of the chain so far
+                            cfg, self.state, packed_dev, True, phase=phase,
+                            k=k)
+                        _mark(f"tick k={k} phase={phase} all-active")
+                        # masked ticks: every phase on the realign fast path;
+                        # phase-0 only in the legacy gated flow (the engine
+                        # compacts to phase 0 before any gated tick there)
+                        if k == 1 and (use_realign or phase == 0):
+                            packed = self.model.pack_tick_inputs(
+                                np.zeros((b, cfg.shift_samples), np.int16),
+                                np.full(b, cfg.valid_out_len, np.int16),
+                                np.zeros(b, np.int16), mask_half)
+                            packed_dev = self.model.put_batch(packed)
+                            self.state, tokens = self.model.fused_tick_packed(
+                                cfg, self.state, packed_dev, False,
+                                phase=phase, k=1, fast_gated=use_realign)
+                            _mark(f"tick k=1 phase={phase} masked")
+                np.asarray(tokens)  # force execution of the chain so far
             if use_realign:
                 for delta in range(-(cfg.n_phases - 1), cfg.n_phases):
                     if delta:
@@ -296,6 +318,13 @@ class EngineGroup:
                 self.state = self.model.compact_state(cfg, self.state,
                                                       mask=mask_half)
                 _mark("compact masked")
+            else:
+                # legacy gated flow: a pause mid-cycle compacts from the
+                # CURRENT phase back to 0 — one variant per phase
+                for p in range(1, cfg.n_phases):
+                    self.state = self.model.compact_state(cfg, self.state,
+                                                          phase=p)
+                    _mark(f"compact phase={p}")
             self.state = self.model.compact_state(cfg, self.state)
             _mark("compact")
             # clear the garbage the prewarm chain left behind

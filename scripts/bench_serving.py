@@ -145,6 +145,9 @@ def worker_sync_main(args) -> int:
                     on_frames(c)
                     if not had_sid and c.sid >= 0:
                         n_started += 1
+                elif data == b"":  # peer closed: fail loudly, don't spin
+                    raise RuntimeError(
+                        "server closed the connection before STARTED")
 
     # phase 3: barrier — tell the parent we're staged, wait for GO
     print(json.dumps({"ready": 1, "admit_seconds":
@@ -180,6 +183,9 @@ def worker_sync_main(args) -> int:
                     on_frames(c)
                     if was_open and c.t_ended:
                         n_done += 1
+                elif data == b"":  # peer closed mid-stream: fail loudly
+                    raise RuntimeError(
+                        "server closed the connection before ENDED")
     end = time.time()
     print(json.dumps({
         "start": start, "end": end,

@@ -199,6 +199,119 @@ def test_native_server_ack_error_and_abrupt_disconnect():
         c2.close()
 
 
+def _drive_control(ing, deadline=30.0):
+    """Poll the ingest layer until control events arrive; return them."""
+    end = time.time() + deadline
+    while time.time() < end:
+        evs = ing.poll_control()
+        if evs:
+            return evs
+        ing.wait(50)
+    raise TimeoutError("no control event")
+
+
+def _start_stream(ing, client, sid):
+    """Drive the Python half of START by hand (no server loop)."""
+    client.send(P.OP_STREAM_START, 0, b"{}")
+    (typ, conn, _, _), = _drive_control(ing)
+    from nemotron_tpu.serving.ingest import EV_START
+
+    assert typ == EV_START
+    ing.register_stream(conn, sid)
+    ing.send(conn, P.OP_STARTED, sid, json.dumps({"id": sid}))
+    op, _, pl = client.recv()
+    assert op == P.OP_STARTED and json.loads(pl)["id"] == sid
+    return conn
+
+
+def test_ingest_budget_unparks_on_disconnect():
+    """A parked connection must wake when a DEAD connection's budget is
+    freed (close_conn releases the dead conn's staged bytes natively; nothing
+    else would ever retrigger the parked reader)."""
+    from nemotron_tpu.serving.ingest import EV_DROP, NativeIngest
+
+    ing = NativeIngest(host="127.0.0.1", port=0, budget_bytes=4000)
+    try:
+        a = RawClient(ing.port)
+        _start_stream(ing, a, 1)
+        a.send(P.OP_PUSH, 1, b"\x00\x00" * 2000)  # exactly fills the budget
+        op, _, _ = a.recv()
+        assert op == P.OP_ACK
+
+        b = RawClient(ing.port)
+        _start_stream(ing, b, 2)
+        b.send(P.OP_PUSH, 2, b"\x00\x00" * 100)  # over budget -> parked
+        b.sock.settimeout(1.0)
+        with pytest.raises(TimeoutError):
+            b.recv()
+
+        a.close()  # frees the whole budget: b must unpark and get its ACK
+        evs = _drive_control(ing)
+        assert any(e[0] == EV_DROP for e in evs)
+        b.sock.settimeout(20.0)
+        op, rsid, _ = b.recv()
+        assert op == P.OP_ACK and rsid == 2
+        b.close()
+    finally:
+        ing.stop()
+
+
+def test_ingest_push_larger_than_budget_streams_through():
+    """A single PUSH larger than the WHOLE admission budget must not wedge
+    the connection: partial admission stages what fits, parks, and resumes
+    the SAME frame as the engine's takes free budget. (All-or-nothing
+    admission deadlocks here — the engine holds sub-chunk tails in the rings,
+    so used_bytes never returns to zero.)"""
+    from nemotron_tpu.serving.ingest import NativeIngest
+
+    ing = NativeIngest(host="127.0.0.1", port=0, budget_bytes=4000)
+    try:
+        a = RawClient(ing.port)
+        _start_stream(ing, a, 1)
+        a.send(P.OP_PUSH, 1, b"\x00" * 8000)  # 4000 samples; budget fits 2000
+        a.sock.settimeout(0.5)
+        with pytest.raises(TimeoutError):  # parked mid-frame, no ACK yet
+            a.recv()
+        out = np.zeros((1, 1000), np.int16)
+        sids = np.array([1], np.uint32)
+        take = np.array([1000], np.int32)
+        got_ack = None
+        a.sock.settimeout(0.5)
+        for _ in range(20):
+            ing.take_block(sids, take, out)  # frees budget -> unparks
+            try:
+                got_ack = a.recv()
+                break
+            except TimeoutError:
+                continue
+        assert got_ack is not None and got_ack[0] == P.OP_ACK
+        staged, pushed = ing.status(sids)
+        assert int(pushed[0]) == 4000  # the WHOLE frame landed, in pieces
+        a.close()
+    finally:
+        ing.stop()
+
+
+def test_ingest_control_payload_clamped():
+    """An oversized START config must not wedge the control queue (payloads
+    are clamped at enqueue so the queue head always fits the poll buffer)."""
+    from nemotron_tpu.serving.ingest import EV_START, NativeIngest
+
+    ing = NativeIngest(host="127.0.0.1", port=0)
+    try:
+        a = RawClient(ing.port)
+        a.send(P.OP_STREAM_START, 0, b"x" * (2 << 20))  # 2 MB of config
+        evs = _drive_control(ing)
+        assert evs[0][0] == EV_START and len(evs[0][3]) <= (64 << 10)
+        # the queue keeps draining: a later START still comes through
+        a.send(P.OP_STREAM_START, 0, b"{}")
+        evs = _drive_control(ing)
+        assert evs[0][0] == EV_START and evs[0][3] == b"{}"
+        a.close()
+    finally:
+        ing.stop()
+
+
 def test_native_server_budget_backpressure():
     """With a tiny admission budget the C++ layer parks the reader instead of
     consuming PUSH frames; the engine's take releases budget and everything

@@ -101,3 +101,43 @@ def test_replica_set_lifecycle(tmp_path, monkeypatch):
     finally:
         rs.close()
     assert all(p.poll() is not None for p in rs.procs)
+
+
+def test_routed_handle_packs_full_u32_sid():
+    """Stream ids are u32 on the wire; the handle packing must not alias a
+    replica's high sids into the replica index (regression: 24-bit shift)."""
+    from nemotron_tpu.serving.replicas import RoutedClient
+
+    rc = RoutedClient.__new__(RoutedClient)
+    big_sid = (1 << 24) + 7
+    h = (3 << RoutedClient._REP_SHIFT) | big_sid
+    assert rc._route(h) == (3, big_sid)
+    assert rc._route(big_sid) == (0, big_sid)
+
+
+def test_wait_ready_times_out_on_silent_replica(tmp_path, monkeypatch):
+    """A replica that hangs before printing anything must trip wait_ready's
+    timeout instead of blocking forever on readline."""
+    import sys
+
+    import pytest
+
+    from nemotron_tpu.serving.replicas import ReplicaSet
+
+    stub = tmp_path / "silent.py"
+    stub.write_text("import time\ntime.sleep(300)\n")
+
+    import nemotron_tpu.serving.replicas as R
+
+    real_popen = R.subprocess.Popen
+
+    def stub_popen(cmd, **kw):
+        return real_popen([sys.executable, str(stub)], **kw)
+
+    monkeypatch.setattr(R.subprocess, "Popen", stub_popen)
+    rs = ReplicaSet("unused.gguf", n_replicas=1, port_base=18300)
+    try:
+        with pytest.raises(TimeoutError):
+            rs.wait_ready(timeout=3.0)
+    finally:
+        rs.close()
