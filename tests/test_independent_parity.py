@@ -329,3 +329,44 @@ def test_lstm_prediction_net_matches_torch():
         np.asarray(h).transpose(1, 0, 2), h_t.numpy(), atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(c).transpose(1, 0, 2), c_t.numpy(), atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+def test_mel_frontend_matches_torch_stft():
+    """The ASR 128-mel frontend (pre-emphasis, centered framing, DFT, power,
+    filterbank matmul, log-zero-guard 2^-24) vs torch.stft with NeMo's exact
+    conventions (hann 400 periodic=False inside a 512 FFT, hop 160, constant
+    center pad) — the same call HF's ParakeetFeatureExtractor makes
+    (feature_extraction_parakeet.py:_torch_extract_fbank_features; its full
+    class needs librosa only for the mel FILTERBANK, which is checkpoint
+    data shipped in the GGUF, so both sides share one here). Independently-
+    authored STFT semantics; our DFT runs as an MXU matmul
+    (preprocessor.cpp:330-395 is the reference implementation)."""
+    from nemotron_tpu.audio.frontend import StreamPreprocessor
+
+    rng = np.random.default_rng(11)
+    n = 16000
+    t = np.arange(n) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 317 * t) + 0.1 * rng.standard_normal(n)
+    pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int16)
+
+    window = torch.hann_window(400, periodic=False).numpy().astype(np.float32)
+    fb = (rng.uniform(0.0, 1.0, (128, 257)) * 0.01).astype(np.float32)
+
+    ours = StreamPreprocessor(fb, window).process(pcm)  # [T, 128]
+
+    x = torch.from_numpy(pcm.astype(np.float32) / 32768.0)
+    y = torch.cat([x[:1], x[1:] - 0.97 * x[:-1]])  # NeMo pre-emphasis
+    stft = torch.stft(
+        y, 512, hop_length=160, win_length=400,
+        window=torch.hann_window(400, periodic=False),
+        center=True, pad_mode="constant", return_complex=True)
+    power = stft.abs() ** 2                      # [257, frames]
+    mel = torch.from_numpy(fb) @ power
+    want = torch.log(mel + 2.0 ** -24).T.numpy()  # [frames, 128]
+
+    # our streaming framing emits only fully-available frames; torch's
+    # center=True additionally right-pads — compare the shared prefix
+    k = ours.shape[0]
+    assert 90 <= k <= want.shape[0]
+    np.testing.assert_allclose(ours, want[:k], atol=3e-4, rtol=1e-4)
