@@ -21,21 +21,59 @@ import json
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-try:  # persistent compilation cache: first bench run pays, later runs don't
+BASELINE_STREAMS = 1.0 / 0.064
+
+_PROBE_CODE = """
+import jax
+try:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 except Exception:
     pass
+import jax.numpy as jnp
+x = jnp.ones((64, 64), jnp.bfloat16)
+(x @ x).block_until_ready()
+print("probe-ok")
+"""
 
-BASELINE_STREAMS = 1.0 / 0.064
+
+def probe_device(timeout_s: float) -> bool:
+    """Run a tiny jit in a SUBPROCESS first: during tunnel outages `import
+    jax` hangs forever at axon backend init (CLAUDE.md), which would hang the
+    whole bench harness — the subprocess hangs instead and we fail with a
+    structured JSON. A healthy first-time probe may legitimately take minutes
+    through the remote compiler (cached in .jax_cache after)."""
+    import subprocess
+
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_CODE],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0 and b"probe-ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
-def run(batch_sizes=(256, 384, 512, 768), dtype=jnp.bfloat16, steps=20,
+def _setup_jax():
+    import jax
+
+    try:  # persistent cache: first bench run pays, later runs don't
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    return jax
+
+
+def run(batch_sizes=(256, 384, 512, 768), dtype=None, steps=20,
         int8: bool = False, right_context: int = 0):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.bfloat16
     from nemotron_tpu.config import CacheConfig, Hparams
     from nemotron_tpu.models.asr import fused_serve_tick
     from nemotron_tpu.params import quantize_encoder_layers, random_params
@@ -170,9 +208,21 @@ def main():
                          "(stderr rows; the driver JSON metric stays R=0)")
     ap.add_argument("--batches", default=None,
                     help="comma-separated batch sizes (default 256,384,512,768)")
+    ap.add_argument("--probe-timeout", type=float, default=1200.0,
+                    help="seconds to wait for the subprocess device probe "
+                         "before declaring the device unreachable (0 = skip "
+                         "the probe)")
     args = ap.parse_args()
     batches = (tuple(int(x) for x in args.batches.split(","))
                if args.batches else (256, 384, 512, 768))
+    if args.probe_timeout > 0 and not probe_device(args.probe_timeout):
+        print("device probe failed: tunnel down or compile service "
+              "unresponsive", file=sys.stderr)
+        print(json.dumps({"metric": "concurrent_realtime_streams_80ms",
+                          "value": 0, "unit": "streams/chip",
+                          "vs_baseline": 0.0,
+                          "error": "device unreachable (probe timed out)"}))
+        return 1
     best = run(batch_sizes=batches, int8=args.int8,
                right_context=args.right_context)
     if best is not None and args.sweep:
