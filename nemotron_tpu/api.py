@@ -503,3 +503,60 @@ class ASRModel:
         mel = pp.process(audio_i16)
         token_ids, frames = self.transcribe_mel(mel, prompt_index)
         return self.tokenizer.decode(token_ids, timestamp_words, frames)
+
+    def transcribe_audios(
+        self,
+        audios,
+        prompt_index: int | None = None,
+        timestamp_words: bool = False,
+    ) -> list[str]:
+        """Batched offline transcription: MANY utterances in one padded
+        device program per segment window (ragged lengths via the n_frames
+        key mask). The reference transcribes one exact-length sequence per
+        graph (src/transcribe.cpp, nemo-ggml.cpp:1592-1668); batching is a
+        TPU-native capability. Long files segment at the pos-table cap with
+        per-utterance decoder-state carry, exactly like transcribe_mel."""
+        if not audios:
+            return []
+        hp = self.hp
+        pp_fb = self.params.preproc.filterbank
+        pp_win = self.params.preproc.window
+        mels = [StreamPreprocessor(pp_fb, pp_win).process(a) for a in audios]
+        B = len(mels)
+        if prompt_index is None:
+            prompt_index = self.default_prompt_index
+        pidx = jnp.full((B,), max(prompt_index, 0), dtype=jnp.int32)
+
+        dec_state = init_decode_state(B, hp, dtype=self.params.pos_emb.dtype)
+        token_ids: list[list[int]] = [[] for _ in range(B)]
+        frames: list[list[int]] = [[] for _ in range(B)]
+        offsets = [0] * B
+        seg = self.max_seg_mel_frames
+        max_t = max(m.shape[0] for m in mels)
+        for start in range(0, max(max_t, 1), seg):
+            parts = [m[start : start + seg] for m in mels]
+            t_max = max(p.shape[0] for p in parts)
+            if t_max == 0:
+                break
+            t_pad = min(-(-t_max // MEL_BUCKET) * MEL_BUCKET, seg)
+            padded = np.zeros((B, t_pad, hp.n_mels), dtype=np.float32)
+            n_sub = np.zeros((B,), dtype=np.int32)
+            for i, p in enumerate(parts):
+                padded[i, : p.shape[0]] = p
+                n_sub[i] = hp.subsampled_len(p.shape[0]) if p.shape[0] else 0
+            fn = self._batch_fn(t_pad, B)
+            tokens, dec_state = fn(self.params, jnp.asarray(padded),
+                                   jnp.asarray(n_sub), dec_state, pidx)
+            arr = np.asarray(tokens)  # [B, T', S]
+            for i in range(B):
+                for t in range(int(n_sub[i])):
+                    for s in range(arr.shape[2]):
+                        tok = int(arr[i, t, s])
+                        if tok >= 0:
+                            token_ids[i].append(tok)
+                            frames[i].append(offsets[i] + t)
+                offsets[i] += int(n_sub[i])
+        return [
+            self.tokenizer.decode(token_ids[i], timestamp_words, frames[i])
+            for i in range(B)
+        ]

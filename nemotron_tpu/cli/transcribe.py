@@ -1,6 +1,11 @@
 """Offline batch transcription CLI (reference: src/transcribe.cpp).
 
-    python -m nemotron_tpu.cli.transcribe <model.gguf> <audio.pcm> [--timestamps]
+    python -m nemotron_tpu.cli.transcribe <model.gguf> <audio.pcm|-> \
+        [more.pcm ...] [--timestamps]
+
+Several files transcribe as ONE padded batch per device program (ragged
+lengths via the key mask) — the reference runs one exact-length graph per
+file.
 """
 
 from __future__ import annotations
@@ -16,23 +21,33 @@ def main(argv=None) -> int:
     timestamps = "--timestamps" in argv
     pos = [a for a in argv if not a.startswith("--")]
     if len(pos) < 2:
-        raise SystemExit("usage: transcribe <model.gguf> <audio.pcm|-> [--timestamps]")
+        raise SystemExit("usage: transcribe <model.gguf> <audio.pcm|-> "
+                         "[more.pcm ...] [--timestamps]")
 
     from ..api import ASRModel
 
     model = ASRModel.from_gguf(pos[0])
-    if pos[1] == "-":
-        audio = np.frombuffer(sys.stdin.buffer.read(), dtype="<i2")
-    else:
-        from ..audio.wavio import maybe_read_audio
+    audios = []
+    for path in pos[1:]:
+        if path == "-":
+            audios.append(np.frombuffer(sys.stdin.buffer.read(), dtype="<i2"))
+        else:
+            from ..audio.wavio import maybe_read_audio
 
-        audio = maybe_read_audio(pos[1])
+            audios.append(maybe_read_audio(path))
 
     t0 = time.time()
-    text = model.transcribe_audio(audio, timestamp_words=timestamps)
+    if len(audios) == 1:
+        texts = [model.transcribe_audio(audios[0], timestamp_words=timestamps)]
+    else:
+        texts = model.transcribe_audios(audios, timestamp_words=timestamps)
     dt = time.time() - t0
-    print(text)
-    secs = len(audio) / 16000.0
+    for name, text in zip(pos[1:], texts):
+        if len(texts) > 1:
+            print(f"{name}\t{text}")
+        else:
+            print(text)
+    secs = sum(len(a) for a in audios) / 16000.0
     print(f"audio: {secs:.2f}s  compute: {dt:.2f}s  RTF: {dt / secs:.4f}",
           file=sys.stderr)
     return 0

@@ -251,3 +251,21 @@ def test_session_timestamp_words():
             if model.tokenizer.piece(tid).startswith("▁")]
     got = [float(m) for m in re.findall(r"\{(\d+\.\d\d)\}", stamped)]
     assert got == [float(f"{w:.2f}") for w in want]
+
+
+def test_transcribe_audios_batched_matches_per_file():
+    """Batched multi-utterance offline transcription (one padded device
+    program per segment, ragged lengths via the key mask) must equal the
+    per-file path exactly — including files long enough to segment at the
+    pos-table cap with decoder-state carry."""
+    model, np_model, hp, cfg = build_model(seed=5)
+    # max_pos_len=64 -> segment cap ~512 mel frames ~ 82k samples; the long
+    # file exceeds it so the batched path also exercises the segment carry
+    audios = [
+        make_audio(7000, seed=21),
+        make_audio(96000, seed=22),
+        make_audio(12800, seed=23),
+    ]
+    want = [model.transcribe_audio(a, timestamp_words=True) for a in audios]
+    got = model.transcribe_audios(audios, timestamp_words=True)
+    assert got == want
