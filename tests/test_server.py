@@ -206,3 +206,37 @@ def test_server_engine_failure_fail_stop(model):
             await asyncio.wait_for(task, timeout=15)
 
     asyncio.run(run())
+
+
+def test_server_on_dp_mesh_matches_session():
+    """The asyncio server with a dp-mesh-sharded model (server --dp wiring:
+    ASRModel.shard) must transcribe identically to a single-device session."""
+    import jax
+
+    from nemotron_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("need 4 cpu devices")
+    audio = make_audio(8000, seed=9)
+
+    plain = build_model(seed=2)
+    sess = StreamSession(plain, 0)
+    sess.process_incremental(audio)
+    sess.finalize()
+    want = sess.get_transcript()
+
+    sharded = build_model(seed=2).shard(make_mesh(4, 1, devices=devs[:4]))
+
+    async def run():
+        srv, server, port = await start_test_server(sharded)
+        try:
+            return await asyncio.wait_for(
+                transcribe_file(audio, host="127.0.0.1", port=port,
+                                chunk_ms=100),
+                timeout=120)
+        finally:
+            server.close()
+            srv._engine_task.cancel()
+
+    assert asyncio.run(run()) == want
