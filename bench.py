@@ -68,7 +68,7 @@ def _setup_jax():
 
 
 def run(batch_sizes=(256, 384, 512, 768), dtype=None, steps=20,
-        int8: bool = False, right_context: int = 0):
+        int8: bool = False, int4: bool = False, right_context: int = 0):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -97,7 +97,9 @@ def run(batch_sizes=(256, 384, 512, 768), dtype=None, steps=20,
     # emissions sits at ~2.6; +6.0 (the old value) silenced decode entirely.
     out_b = params.joint.out_b.at[hp.blank_id].add(2.4)
     params = _dc.replace(params, joint=_dc.replace(params.joint, out_b=out_b))
-    if int8:  # weight-only Q8_0 serving variant (--int8)
+    if int4:  # weight-only Q4_0 serving variant (--int4)
+        params = quantize_encoder_layers(params, bits=4)
+    elif int8:  # weight-only Q8_0 serving variant (--int8)
         params = quantize_encoder_layers(params)
 
     shift_samples = cfg.shift_samples  # 1280 new samples per 80 ms chunk
@@ -198,6 +200,9 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--int4", action="store_true",
+                    help="weight-only Q4_0 encoder (quarter weight memory; "
+                         "variant line like --int8)")
     ap.add_argument("--int8", action="store_true",
                     help="weight-only Q8_0 encoder (variant line, stderr "
                          "PERF.md numbers; the driver metric stays bf16)")
@@ -223,7 +228,7 @@ def main():
                           "vs_baseline": 0.0,
                           "error": "device unreachable (probe timed out)"}))
         return 1
-    best = run(batch_sizes=batches, int8=args.int8,
+    best = run(batch_sizes=batches, int8=args.int8, int4=args.int4,
                right_context=args.right_context)
     if best is not None and args.sweep:
         # larger R = longer K/V buffers: the best R=0 batch can exceed HBM
@@ -234,7 +239,8 @@ def main():
         candidates = list(dict.fromkeys(candidates))
         for rc in (1, 6, 13):
             for b in candidates:
-                r = run(batch_sizes=(b,), int8=args.int8, right_context=rc)
+                r = run(batch_sizes=(b,), int8=args.int8, int4=args.int4,
+                        right_context=rc)
                 if r:
                     print(f"[sweep] R={rc}: B={r['B']} "
                           f"step={r['step_time'] * 1e3:.2f} ms -> "

@@ -25,6 +25,10 @@ def linear(x, w, b=None):
         from .quant import linear_q8
 
         y = linear_q8(x, w)
+    elif hasattr(w, "w_packed"):
+        from .quant import linear_q4
+
+        y = linear_q4(x, w)
     else:
         y = jnp.einsum("...i,oi->...o", x, w)
     if b is not None:

@@ -277,9 +277,8 @@ def load_model(
     stacked = {}
     for field, suffix in _LAYER_MAP.items():
         names = [f"encoder.layers.{i}.{suffix}" for i in range(hp.n_layers)]
-        if keep_quantized and all(
-            g.tensors[n].ggml_type == 8 for n in names  # GGML_Q8_0
-        ):
+        types = {g.tensors[n].ggml_type for n in names}
+        if keep_quantized and types == {8}:  # GGML_Q8_0
             from .ops.quant import QuantizedTensor, from_gguf_q8
 
             qts = [
@@ -287,6 +286,17 @@ def load_model(
             ]
             stacked[field] = QuantizedTensor(
                 w_i8=jnp.stack([q.w_i8 for q in qts]),
+                scales=jnp.stack([q.scales for q in qts]),
+            )
+            continue
+        if keep_quantized and types == {2}:  # GGML_Q4_0
+            from .ops.quant import QuantizedTensor4, from_gguf_q4
+
+            qts = [
+                from_gguf_q4(g.raw_tensor(n), *g.tensors[n].shape) for n in names
+            ]
+            stacked[field] = QuantizedTensor4(
+                w_packed=jnp.stack([q.w_packed for q in qts]),
                 scales=jnp.stack([q.scales for q in qts]),
             )
             continue
@@ -450,22 +460,31 @@ QUANT_LAYER_FIELDS = (
 )
 
 
-def quantize_encoder_layers(params: ModelParams) -> ModelParams:
-    """Weight-only int8: convert the stacked encoder-layer matrices to Q8_0
-    QuantizedTensors in place (int8 + per-32-block scales; dequantized inside
-    the matmul, optionally via the Pallas kernel). Halves/quarters encoder
-    weight memory and HBM read bandwidth for serving."""
-    from .ops.quant import QuantizedTensor, quantize_q8
+def quantize_encoder_layers(params: ModelParams, bits: int = 8) -> ModelParams:
+    """Weight-only quantization: convert the stacked encoder-layer matrices
+    to Q8_0 (bits=8) or Q4_0 (bits=4) QuantizedTensors in place (per-32-block
+    scales; dequantized inside the matmul, optionally via the Pallas
+    kernels). int8 halves, int4 quarters encoder weight memory and HBM read
+    bandwidth for serving."""
+    from .ops.quant import (QuantizedTensor, QuantizedTensor4, quantize_q4,
+                            quantize_q8)
 
     lay = params.layers
     upd = {}
     for name in QUANT_LAYER_FIELDS:
         v = np.asarray(getattr(lay, name), np.float32)  # [L, out, in]
-        if v.ndim != 3 or v.shape[-1] % 32:
+        if v.ndim != 3 or v.shape[-1] % (32 if bits == 8 else 64):
             continue
-        qts = [quantize_q8(v[i]) for i in range(v.shape[0])]
-        upd[name] = QuantizedTensor(
-            w_i8=jnp.stack([q.w_i8 for q in qts]),
-            scales=jnp.stack([q.scales for q in qts]),
-        )
+        if bits == 4:
+            qts = [quantize_q4(v[i]) for i in range(v.shape[0])]
+            upd[name] = QuantizedTensor4(
+                w_packed=jnp.stack([q.w_packed for q in qts]),
+                scales=jnp.stack([q.scales for q in qts]),
+            )
+        else:
+            qts = [quantize_q8(v[i]) for i in range(v.shape[0])]
+            upd[name] = QuantizedTensor(
+                w_i8=jnp.stack([q.w_i8 for q in qts]),
+                scales=jnp.stack([q.scales for q in qts]),
+            )
     return dataclasses.replace(params, layers=dataclasses.replace(lay, **upd))

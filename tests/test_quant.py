@@ -151,3 +151,129 @@ def test_quantize_encoder_layers_stream_parity():
     assert np.isfinite(h_q8).all()
     rel = np.abs(h_q8 - h_dense).max() / (np.abs(h_dense).max() + 1e-9)
     assert rel < 0.2, rel
+
+
+# ---------------------------------------------------------------------------
+# Weight-only int4 (Q4_0)
+# ---------------------------------------------------------------------------
+
+def test_q4_quantize_roundtrip_error_bound():
+    from nemotron_tpu.ops.quant import dequantize_q4, quantize_q4
+
+    w = rand(64, 128, seed=11)
+    qt = quantize_q4(w)
+    deq = np.asarray(dequantize_q4(qt))
+    step = np.abs(w).reshape(64, 4, 32).max(axis=2) / 7.0
+    bound = np.repeat(step, 32, axis=1) * 0.51 + 1e-7
+    assert np.all(np.abs(deq - w) <= bound)
+
+
+def test_from_gguf_q4_matches_reader():
+    """QuantizedTensor4 built from a raw GGUF Q4_0 payload (and repacked to
+    the half-split TPU layout) must dequantize to exactly what the reader's
+    reference dequantizer produces."""
+    from nemotron_tpu.gguf.reader import dequantize_q4_0
+    from nemotron_tpu.gguf.writer import GGML_Q4_0, encode_tensor
+    from nemotron_tpu.ops.quant import dequantize_q4, from_gguf_q4
+
+    w = rand(48, 128, seed=12)
+    raw = encode_tensor(w, GGML_Q4_0)
+    want = dequantize_q4_0(raw, w.size).reshape(48, 128)
+    qt = from_gguf_q4(raw, 48, 128)
+    got = np.asarray(dequantize_q4(qt))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_linear_dispatch_q4():
+    from nemotron_tpu.ops.quant import dequantize_q4, quantize_q4
+
+    w = rand(48, 64, seed=13)
+    x = jnp.asarray(rand(5, 64, seed=14))
+    qt = quantize_q4(w)
+    got = np.asarray(linear(x, qt))
+    want = np.asarray(linear(x, dequantize_q4(qt)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_q4_pallas_kernel_matches_xla():
+    from nemotron_tpu.ops.quant import (linear_q4_pallas, linear_q4_xla,
+                                        quantize_q4)
+
+    w = rand(256, 512, seed=15)
+    x = jnp.asarray(rand(64, 512, seed=16))
+    qt = quantize_q4(w)
+    want = np.asarray(linear_q4_xla(x, qt))
+    got = np.asarray(linear_q4_pallas(x, qt, interpret=True))
+    scale = np.abs(want).max()
+    assert np.max(np.abs(got - want)) / scale < 2e-2
+
+
+def test_model_keep_quantized_q4(tmp_path):
+    """Full checkpoint with Q4_0 encoder matrices: keep_quantized=True must
+    match the dequantize-at-load path bit-for-bit through the encoder."""
+    import re
+
+    from nemotron_tpu.gguf.reader import GGML_Q4_0
+    from nemotron_tpu.gguf.writer import write_gguf
+    from nemotron_tpu.models.encoder import encode_batch
+    from nemotron_tpu.ops.quant import QuantizedTensor4
+    from nemotron_tpu.params import load_model
+
+    hp = tiny_hparams()
+    path = str(tmp_path / "q4.gguf")
+    pat = re.compile(
+        r"encoder\.layers\.\d+\.(feed_forward\d+|self_attn|conv)\.[^.]+\.weight$"
+    )
+    tensors = export_random_checkpoint(hp, path, seed=19)
+    types = {
+        n: GGML_Q4_0
+        for n, a in tensors.items()
+        if pat.search(n) and a.ndim >= 2 and a.size >= 256
+        and "depthwise" not in n
+    }
+    assert len(types) > 10
+    kv_path = str(tmp_path / "q4b.gguf")
+    g = read_gguf(path)
+    write_gguf(kv_path, g.kv, tensors, types)
+
+    hp1, p_deq, _ = load_model(kv_path, keep_quantized=False)
+    hp2, p_q, _ = load_model(kv_path, keep_quantized=True)
+    has_q4 = any(
+        isinstance(getattr(p_q.layers, f), QuantizedTensor4)
+        for f in ("ffn1_w1", "attn_q_w", "conv_pw1_w")
+    )
+    assert has_q4
+
+    mel = jnp.asarray(rand(1, 24, hp.n_mels, seed=20))
+    out1 = np.asarray(encode_batch(p_deq, hp1, mel))
+    out2 = np.asarray(encode_batch(p_q, hp2, mel))
+    np.testing.assert_allclose(out1, out2, atol=1e-4)
+
+
+def test_quantize_encoder_layers_q4_stream_runs():
+    """Weight-only int4 across the encoder: the fused tick runs and stays
+    close to the dense model (Q4_0 error ~5%/matmul on random weights)."""
+    from helpers import tiny_cfg, tiny_model
+
+    from nemotron_tpu.models.asr import fused_serve_tick
+    from nemotron_tpu.params import quantize_encoder_layers
+    from nemotron_tpu.streaming.state import init_stream_state
+
+    hp, params = tiny_model(seed=2)
+    cfg = tiny_cfg(hp)
+    qparams = quantize_encoder_layers(params, bits=4)
+    assert hasattr(qparams.layers.ffn1_w1, "w_packed")  # in=64 quantizes
+    assert not hasattr(qparams.layers.ffn1_w2, "w_packed")  # in=96 % 64 != 0
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        (rng.uniform(-0.3, 0.3, (2, cfg.shift_samples)) * 32767)
+        .astype(np.int16))
+    n_valid = jnp.full((2,), cfg.valid_out_len, jnp.int32)
+    state = init_stream_state(2, hp, cfg)
+    state_q = init_stream_state(2, hp, cfg)
+    _, tok_d = fused_serve_tick(params, state, audio, n_valid, None,
+                                hp=hp, cfg=cfg)
+    _, tok_q = fused_serve_tick(qparams, state_q, audio, n_valid, None,
+                                hp=hp, cfg=cfg)
+    assert np.asarray(tok_q).shape == np.asarray(tok_d).shape
