@@ -220,6 +220,8 @@ def main():
     args = ap.parse_args()
     batches = (tuple(int(x) for x in args.batches.split(","))
                if args.batches else (256, 384, 512, 768))
+    if args.int8 and args.int4:
+        ap.error("--int8 and --int4 are mutually exclusive")
     if args.probe_timeout > 0 and not probe_device(args.probe_timeout):
         print("device probe failed: tunnel down or compile service "
               "unresponsive", file=sys.stderr)

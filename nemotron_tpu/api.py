@@ -547,14 +547,12 @@ class ASRModel:
             fn = self._batch_fn(t_pad, B)
             tokens, dec_state = fn(self.params, jnp.asarray(padded),
                                    jnp.asarray(n_sub), dec_state, pidx)
-            arr = np.asarray(tokens)  # [B, T', S]
-            for i in range(B):
-                for t in range(int(n_sub[i])):
-                    for s in range(arr.shape[2]):
-                        tok = int(arr[i, t, s])
-                        if tok >= 0:
-                            token_ids[i].append(tok)
-                            frames[i].append(offsets[i] + t)
+            from .models.asr import tokens_to_list
+
+            for i, seq in enumerate(tokens_to_list(tokens, n_sub)):
+                for tok, t in seq:
+                    token_ids[i].append(tok)
+                    frames[i].append(offsets[i] + t)
                 offsets[i] += int(n_sub[i])
         return [
             self.tokenizer.decode(token_ids[i], timestamp_words, frames[i])

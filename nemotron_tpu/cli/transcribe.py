@@ -28,9 +28,13 @@ def main(argv=None) -> int:
 
     model = ASRModel.from_gguf(pos[0])
     audios = []
+    stdin_audio = None
     for path in pos[1:]:
         if path == "-":
-            audios.append(np.frombuffer(sys.stdin.buffer.read(), dtype="<i2"))
+            if stdin_audio is None:  # stdin reads once; '-' twice reuses it
+                stdin_audio = np.frombuffer(sys.stdin.buffer.read(),
+                                            dtype="<i2")
+            audios.append(stdin_audio)
         else:
             from ..audio.wavio import maybe_read_audio
 
@@ -48,7 +52,8 @@ def main(argv=None) -> int:
         else:
             print(text)
     secs = sum(len(a) for a in audios) / 16000.0
-    print(f"audio: {secs:.2f}s  compute: {dt:.2f}s  RTF: {dt / secs:.4f}",
+    rtf = dt / secs if secs > 0 else float("inf")
+    print(f"audio: {secs:.2f}s  compute: {dt:.2f}s  RTF: {rtf:.4f}",
           file=sys.stderr)
     return 0
 

@@ -188,8 +188,8 @@ class QuantizedTensor4:
     scales: Any    # [out, in // 32] f32, per-32 ORIGINAL-order blocks
 
     @property
-    def shape(self):
-        return (self.w_packed.shape[0], self.w_packed.shape[1] * 2)
+    def shape(self):  # rank-generic: stacked layer fields are [L, out, in/2]
+        return (*self.w_packed.shape[:-1], self.w_packed.shape[-1] * 2)
 
     @property
     def dtype(self):
@@ -235,7 +235,6 @@ def from_gguf_q4(raw: bytes, out: int, inp: int) -> QuantizedTensor4:
 
 
 def dequantize_q4(qt: QuantizedTensor4, dtype=jnp.float32):
-    half = qt.w_packed.shape[-1]
     w32 = qt.w_packed.astype(jnp.int32)
     lo = (w32 & 0x0F) - 8                     # original columns [0, in/2)
     hi = (w32 >> 4) - 8                       # original columns [in/2, in)
@@ -307,7 +306,8 @@ def linear_q4_pallas(x, qt: QuantizedTensor4, interpret: bool = False):
         pad = (-m) % tm
         x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
     tn = 256 if out % 256 == 0 else 128
-    if out % tn or inp % 256 or inp % 64:
+    # packed width in/2 must tile 128 lanes => in % 256 == 0
+    if out % tn or inp % 256:
         return linear_q4_xla(x, qt)  # shapes the kernel doesn't tile
     y = _q4_matmul_pallas(x2d, qt.w_packed, qt.scales, tm=tm, tn=tn,
                           interpret=interpret)
