@@ -330,3 +330,30 @@ def test_native_server_budget_backpressure():
                             chunk_ms=100),
             timeout=180))
     assert got == want
+
+
+def test_native_server_on_dp_mesh_matches_session():
+    """GIL-free C++ ingest + dp-mesh-sharded model together (--native --dp):
+    transcript identical to a single-device session."""
+    import jax
+
+    from nemotron_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("need 4 cpu devices")
+    audio = make_audio(8000, seed=30)
+
+    plain = build_model(seed=4)
+    sess = StreamSession(plain, 0)
+    sess.process_incremental(audio)
+    sess.finalize()
+    want = sess.get_transcript()
+
+    sharded = build_model(seed=4).shard(make_mesh(4, 1, devices=devs[:4]))
+    with running_server(sharded) as rs:
+        got = asyncio.run(asyncio.wait_for(
+            transcribe_file(audio, host="127.0.0.1", port=rs.port,
+                            chunk_ms=100),
+            timeout=180))
+    assert got == want
