@@ -120,6 +120,27 @@ def main():
                        args.steps, lambda st: st[1])
         results["full"] = t
 
+    if "gated" in want:
+        # masked fast tick (fast_gated / realign path, half the slots
+        # active): gated-tick cost vs the all-active fast path. Before the
+        # round-3 realign work any inactive slot forced a full 70-frame
+        # window rewrite; now it rides the same phased program with masked
+        # appends (VERDICT item 5's done-criterion: gated ~= fast).
+        act = jnp.asarray(np.arange(B) % 2 == 0)
+        fn = jax.jit(functools.partial(
+            lambda p, s, a, nv, m: fused_serve_tick(
+                p, s, a, nv, m, hp=hp, cfg=cfg, phase=0, fast_gated=True)),
+            donate_argnums=(1,))
+
+        def stepg(st, a):
+            s, tok = fn(params, st, a, n_valid, act)
+            return (s, tok)
+
+        state = (init_stream_state(B, hp, cfg, dtype=dtype), None)
+        t = chain_time(lambda st, a: stepg(st[0], a), state, blocks,
+                       args.steps, lambda st: st[1])
+        results["gated"] = t
+
     # Intra-layer ablations: monkeypatch one module of the conformer layer to
     # identity (the layer body resolves these names from the encoder module's
     # globals at trace time). Cost of module X ~= encoder - noX.
