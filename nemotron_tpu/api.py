@@ -211,27 +211,6 @@ class ASRModel:
         fn = self._stream_step_fn(cfg, b, all_active, phase)
         return fn(self.params, state, mel_chunk, n_valid, active, prompt_idx)
 
-    def _fused_tick_fn(self, cfg: CacheConfig, batch: int, all_active: bool,
-                       phase: int):
-        from .models.asr import fused_serve_tick
-
-        hp = self.hp
-
-        def build():
-            @functools.partial(jax.jit, donate_argnums=(1,))
-            def fn(params, state, audio_block, n_valid, active, prompt_idx):
-                return fused_serve_tick(
-                    params, state, audio_block, n_valid,
-                    None if all_active else active,
-                    prompt_idx if hp.num_prompts > 0 else None, hp=hp,
-                    cfg=cfg, phase=phase,
-                )
-
-            return fn
-
-        return self._memo(("fused_tick", cfg, batch, all_active, phase),
-                          build)
-
     def _fused_tick_packed_fn(self, cfg: CacheConfig, batch: int,
                               all_active: bool, phase: int, k: int,
                               fast_gated: bool = False):
@@ -298,21 +277,6 @@ class ASRModel:
         fn = self._fused_tick_packed_fn(cfg, b, all_active, phase, k,
                                         fast_gated and not all_active)
         return fn(self.params, state, packed_dev)
-
-    def fused_tick(self, cfg, state, audio_block, n_valid, active,
-                   prompt_idx=None, phase: int = 0):
-        """One fused serving tick: raw PCM blocks in -> tokens out (see
-        models.asr.fused_serve_tick). active=None is the all-active fast path
-        (same phase contract as stream_step)."""
-        b = audio_block.shape[0]
-        if prompt_idx is None:
-            prompt_idx = jnp.full((b,), max(self.default_prompt_index, 0),
-                                  dtype=jnp.int32)
-        all_active = active is None
-        if all_active:
-            active = jnp.ones((b,), dtype=bool)  # placeholder arg
-        fn = self._fused_tick_fn(cfg, b, all_active, phase)
-        return fn(self.params, state, audio_block, n_valid, active, prompt_idx)
 
     def _fused_encode_fn(self, cfg: CacheConfig, batch: int, all_active: bool,
                          phase: int):
