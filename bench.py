@@ -28,7 +28,10 @@ BASELINE_STREAMS = 1.0 / 0.064
 _PROBE_CODE = """
 import jax
 try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # throwaway cache dir: a probe killed on timeout mid-write must never
+    # leave a truncated entry in the real .jax_cache (truncated zstd entries
+    # SEGFAULT the next reader — see CLAUDE.md / tests/conftest.py)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/.probe_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 except Exception:
     pass
