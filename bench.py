@@ -209,6 +209,10 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="weight-only Q8_0 encoder (variant line, stderr "
                          "PERF.md numbers; the driver metric stays bf16)")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8-quantized attention K/V caches (halves the "
+                         "dominant HBM traffic of the streaming step; "
+                         "variant line like --int8)")
     ap.add_argument("--right-context", type=int, default=0,
                     help="latency mode (R frames of lookahead; 0 = 80 ms)")
     ap.add_argument("--sweep", action="store_true",
@@ -225,6 +229,11 @@ def main():
                if args.batches else (256, 384, 512, 768))
     if args.int8 and args.int4:
         ap.error("--int8 and --int4 are mutually exclusive")
+    if args.kv_int8:
+        # must be set before nemotron_tpu modules allocate state
+        import os
+
+        os.environ["NEMOTRON_TPU_KV_INT8"] = "1"
     if args.probe_timeout > 0 and not probe_device(args.probe_timeout):
         print("device probe failed: tunnel down or compile service "
               "unresponsive", file=sys.stderr)

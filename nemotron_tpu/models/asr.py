@@ -31,8 +31,11 @@ def _gate_batch0(active, new, old):
 
 
 def _gate_batch1(active, new, old):
-    mm = active.reshape((1, active.shape[0]) + (1,) * (new.ndim - 2))
-    return jnp.where(mm, new, old)
+    def g(n, o):
+        mm = active.reshape((1, active.shape[0]) + (1,) * (n.ndim - 2))
+        return jnp.where(mm, n, o)
+
+    return jax.tree.map(g, new, old)  # leaves may be pytrees (QuantKV)
 
 
 def stream_step(

@@ -28,6 +28,17 @@ LAYER_SCAN_UNROLL = int(os.environ.get("NEMOTRON_TPU_LAYER_UNROLL", "1"))
 from ..config import CacheConfig, Hparams
 from ..ops.basic import ffn, glu, layer_norm, linear
 from ..ops.conv import conv_subsampling, depthwise_causal_conv1d
+from ..ops.kvquant import (
+    is_quant,
+    kv_concat,
+    kv_layer,
+    kv_roll,
+    kv_seq_len,
+    kv_slice,
+    kv_update_slice,
+    kv_where,
+    quantize_kv,
+)
 from ..ops.rel_attention import rel_pos_mha, rel_pos_mha_fullbuf
 
 # Fast-path layer stack style. Default: UNROLLED Python loop with static
@@ -284,7 +295,7 @@ def stream_encode_step(
         # Unrolled fast path: static per-layer views of the stacked weights
         # and K/V buffers (no scan-xs copies), full-buffer attention with the
         # phase's window selection as compile-time constants.
-        s_buf = k_cache.shape[3]
+        s_buf = kv_seq_len(k_cache, 3)
         j_of_s, onehot_np = _phase_attn_constants(
             lc, chunk_len, s_buf, phase)
         onehot = jnp.asarray(onehot_np, dtype=x.dtype)
@@ -309,8 +320,13 @@ def stream_encode_step(
                 pp = jnp.einsum("phd,ps->hds", ph.astype(jnp.float32),
                                 onehot[0].astype(jnp.float32))
 
-                def ab(res, lp=lp, pp=pp, kc=k_cache[layer],
-                       vc=v_cache[layer]):
+                def ab(res, lp=lp, pp=pp, kc=kv_layer(k_cache, layer),
+                       vc=kv_layer(v_cache, layer)):
+                    if is_quant(kc):  # opt-in Pallas block: dense operands
+                        from ..ops.kvquant import dequantize_kv
+
+                        kc = dequantize_kv(kc, res.dtype)
+                        vc = dequantize_kv(vc, res.dtype)
                     out2, (kn, vn) = t1_attention_block(
                         res[:, 0, :], lp.norm_attn_w, lp.norm_attn_b,
                         lp.attn_q_w, lp.attn_k_w, lp.attn_v_w,
@@ -323,7 +339,8 @@ def stream_encode_step(
                             vn[:, :, None, :])
             x, k_new, v_new, cc2 = conformer_layer(
                 x, pe, lp, hp,
-                k_cache=k_cache[layer], v_cache=v_cache[layer],
+                k_cache=kv_layer(k_cache, layer),
+                v_cache=kv_layer(v_cache, layer),
                 conv_cache=conv_cache[layer],
                 attn_mask=mask_full, left_context=lc,
                 shift_onehot=onehot, attn_block=ab,
@@ -335,22 +352,24 @@ def stream_encode_step(
             k_new_all = jnp.stack(kn_l)  # [L, B, H, T, Dh]
             v_new_all = jnp.stack(vn_l)
             conv_out = jnp.stack(cc_l)
+            if is_quant(k_cache):
+                k_new_all = quantize_kv(k_new_all)
+                v_new_all = quantize_kv(v_new_all)
             if active_mask is not None:
                 # masked fast path: inactive slots keep their old append
-                # region / conv cache (tiny where, big buffers untouched)
-                m = active_mask[None, :, None, None, None]
-                old_k = jax.lax.slice_in_dim(
-                    k_cache, win_hi, win_hi + chunk_len, axis=3)
-                old_v = jax.lax.slice_in_dim(
-                    v_cache, win_hi, win_hi + chunk_len, axis=3)
-                k_new_all = jnp.where(m, k_new_all, old_k)
-                v_new_all = jnp.where(m, v_new_all, old_v)
+                # region / conv cache bit-for-bit (tiny where on the
+                # new-frame tensors — in the quantized domain when the cache
+                # is int8 — big buffers untouched)
+                old_k = kv_slice(k_cache, win_hi, win_hi + chunk_len, axis=3)
+                old_v = kv_slice(v_cache, win_hi, win_hi + chunk_len, axis=3)
+                k_new_all = kv_where(active_mask, k_new_all, old_k,
+                                     batch_axis=1)
+                v_new_all = kv_where(active_mask, v_new_all, old_v,
+                                     batch_axis=1)
                 conv_out = jnp.where(active_mask[None, :, None, None],
                                      conv_out, conv_cache)
-            k_out = jax.lax.dynamic_update_slice(
-                k_cache, k_new_all, (0, 0, 0, win_hi, 0))
-            v_out = jax.lax.dynamic_update_slice(
-                v_cache, v_new_all, (0, 0, 0, win_hi, 0))
+            k_out = kv_update_slice(k_cache, k_new_all, (0, 0, 0, win_hi, 0))
+            v_out = kv_update_slice(v_cache, v_new_all, (0, 0, 0, win_hi, 0))
         else:
             k_out, v_out, conv_out = k_cache, v_cache, conv_cache
 
@@ -366,8 +385,8 @@ def stream_encode_step(
 
     def body(carry, per_layer):
         lp, kc_buf, vc_buf, cc = per_layer
-        kc = jax.lax.slice_in_dim(kc_buf, win_lo, win_hi, axis=2)
-        vc = jax.lax.slice_in_dim(vc_buf, win_lo, win_hi, axis=2)
+        kc = kv_slice(kc_buf, win_lo, win_hi, axis=2)
+        vc = kv_slice(vc_buf, win_lo, win_hi, axis=2)
         y, k_new, v_new, cc2 = conformer_layer(
             carry, pe, lp, hp,
             k_cache=kc, v_cache=vc, conv_cache=cc,
@@ -380,35 +399,31 @@ def stream_encode_step(
         unroll=LAYER_SCAN_UNROLL,
     )
 
+    if is_quant(k_cache):
+        k_new_all = quantize_kv(k_new_all)
+        v_new_all = quantize_kv(v_new_all)
     if advance_phase:
         # append-only: the big buffers update in place (donated); only the
         # [L, B, H, chunk_len, Dh] new frames are written
         if active_mask is not None:
-            m = active_mask[None, :, None, None, None]
-            old_k = jax.lax.slice_in_dim(
-                k_cache, win_hi, win_hi + chunk_len, axis=3)
-            old_v = jax.lax.slice_in_dim(
-                v_cache, win_hi, win_hi + chunk_len, axis=3)
-            k_new_all = jnp.where(m, k_new_all, old_k)
-            v_new_all = jnp.where(m, v_new_all, old_v)
+            old_k = kv_slice(k_cache, win_hi, win_hi + chunk_len, axis=3)
+            old_v = kv_slice(v_cache, win_hi, win_hi + chunk_len, axis=3)
+            k_new_all = kv_where(active_mask, k_new_all, old_k, batch_axis=1)
+            v_new_all = kv_where(active_mask, v_new_all, old_v, batch_axis=1)
             conv_out = jnp.where(active_mask[None, :, None, None],
                                  conv_out, conv_cache)
-        k_out = jax.lax.dynamic_update_slice(
-            k_cache, k_new_all, (0, 0, 0, win_hi, 0))
-        v_out = jax.lax.dynamic_update_slice(
-            v_cache, v_new_all, (0, 0, 0, win_hi, 0))
+        k_out = kv_update_slice(k_cache, k_new_all, (0, 0, 0, win_hi, 0))
+        v_out = kv_update_slice(v_cache, v_new_all, (0, 0, 0, win_hi, 0))
     else:
         # phase-stationary shift (reference semantics for gated ticks)
-        kc_win = jax.lax.slice_in_dim(k_cache, win_lo, win_hi, axis=3)
-        vc_win = jax.lax.slice_in_dim(v_cache, win_lo, win_hi, axis=3)
-        k_shift = jnp.concatenate(
-            [kc_win[:, :, :, chunk_len:, :], k_new_all], axis=3)
-        v_shift = jnp.concatenate(
-            [vc_win[:, :, :, chunk_len:, :], v_new_all], axis=3)
-        k_out = jax.lax.dynamic_update_slice(
-            k_cache, k_shift, (0, 0, 0, win_lo, 0))
-        v_out = jax.lax.dynamic_update_slice(
-            v_cache, v_shift, (0, 0, 0, win_lo, 0))
+        kc_win = kv_slice(k_cache, win_lo, win_hi, axis=3)
+        vc_win = kv_slice(v_cache, win_lo, win_hi, axis=3)
+        k_shift = kv_concat(
+            [kv_slice(kc_win, chunk_len, lc, axis=3), k_new_all], axis=3)
+        v_shift = kv_concat(
+            [kv_slice(vc_win, chunk_len, lc, axis=3), v_new_all], axis=3)
+        k_out = kv_update_slice(k_cache, k_shift, (0, 0, 0, win_lo, 0))
+        v_out = kv_update_slice(v_cache, v_shift, (0, 0, 0, win_lo, 0))
 
     if params.prompt is not None and prompt_onehot is not None:
         x = prompt_fusion(params.prompt, x, prompt_onehot)
@@ -440,16 +455,15 @@ def compact_cache(cfg: CacheConfig, hp: Hparams, k_cache, v_cache,
     lo = phase * cfg.chunk_len(hp)
     if lo == 0:
         return k_cache, v_cache  # window already at phase 0
-    win_k = jax.lax.slice_in_dim(k_cache, lo, lo + lc, axis=3)
-    win_v = jax.lax.slice_in_dim(v_cache, lo, lo + lc, axis=3)
+    win_k = kv_slice(k_cache, lo, lo + lc, axis=3)
+    win_v = kv_slice(v_cache, lo, lo + lc, axis=3)
     if mask is not None:
-        m = mask[None, :, None, None, None]
-        win_k = jnp.where(m, win_k,
-                          jax.lax.slice_in_dim(k_cache, 0, lc, axis=3))
-        win_v = jnp.where(m, win_v,
-                          jax.lax.slice_in_dim(v_cache, 0, lc, axis=3))
-    k2 = jax.lax.dynamic_update_slice(k_cache, win_k, (0, 0, 0, 0, 0))
-    v2 = jax.lax.dynamic_update_slice(v_cache, win_v, (0, 0, 0, 0, 0))
+        win_k = kv_where(mask, win_k, kv_slice(k_cache, 0, lc, axis=3),
+                         batch_axis=1)
+        win_v = kv_where(mask, win_v, kv_slice(v_cache, 0, lc, axis=3),
+                         batch_axis=1)
+    k2 = kv_update_slice(k_cache, win_k, (0, 0, 0, 0, 0))
+    v2 = kv_update_slice(v_cache, win_v, (0, 0, 0, 0, 0))
     return k2, v2
 
 
@@ -475,7 +489,8 @@ def realign_cache(cfg: CacheConfig, hp: Hparams, k_cache, v_cache,
     tick with any paused slot)."""
     assert delta != 0
     shift = delta * cfg.chunk_len(hp)
-    m = mask[None, :, None, None, None]
-    k2 = jnp.where(m, jnp.roll(k_cache, shift, axis=3), k_cache)
-    v2 = jnp.where(m, jnp.roll(v_cache, shift, axis=3), v_cache)
+    k2 = kv_where(mask, kv_roll(k_cache, shift, axis=3), k_cache,
+                  batch_axis=1)
+    v2 = kv_where(mask, kv_roll(v_cache, shift, axis=3), v_cache,
+                  batch_axis=1)
     return k2, v2

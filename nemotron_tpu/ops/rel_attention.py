@@ -45,20 +45,41 @@ PALLAS_T1_ATTN = os.environ.get("NEMOTRON_TPU_PALLAS_ATTN", "0") == "1"
 def _t1_scores(q_uh, kc, kn_h):
     """[B,H,1,Dh] queries vs [B,H,S,Dh] cache + [B,H,1,Dh] new frame ->
     content scores [B,H,1,S+1], accumulated in f32 on the VPU (all ops fuse
-    with the cache read)."""
+    with the cache read).
+
+    kc may be a kvquant.QuantKV (int8 cache): the per-frame scale is constant
+    across Dh, so it folds onto the [B,H,S] score AFTER the reduction — the
+    big tensor still gets exactly one HBM read (at half the bytes) and one
+    fused convert+multiply-accumulate per element."""
+    from .kvquant import is_quant
+
     q32 = q_uh.astype(jnp.float32)
-    hist = (q32 * kc.astype(jnp.float32)).sum(-1)  # [B,H,S]
+    if is_quant(kc):
+        hist = (q32 * kc.q.astype(jnp.float32)).sum(-1) * kc.s  # [B,H,S]
+    else:
+        hist = (q32 * kc.astype(jnp.float32)).sum(-1)  # [B,H,S]
     new = (q32 * kn_h.astype(jnp.float32)).sum(-1)  # [B,H,1]
     return jnp.concatenate([hist, new], axis=-1)[:, :, None, :]
 
 
 def _t1_context(weights, vc, vn_h):
     """weights [B,H,1,S+1] (f32), V cache [B,H,S,Dh] + new [B,H,1,Dh] ->
-    context [B,H,1,Dh] f32 (VPU broadcast multiply-reduce, fused)."""
-    s = vc.shape[2]
-    w_hist = weights[:, :, 0, :s, None]      # [B,H,S,1]
+    context [B,H,1,Dh] f32 (VPU broadcast multiply-reduce, fused).
+
+    vc may be a kvquant.QuantKV: its per-frame scale folds into the softmax
+    weights ([B,H,S], cheap) before the multiply-reduce over the int8 buffer."""
+    from .kvquant import is_quant
+
+    if is_quant(vc):
+        s = vc.q.shape[2]
+        w_hist = (weights[:, :, 0, :s] * vc.s)[..., None]  # [B,H,S,1]
+        v_hist = vc.q
+    else:
+        s = vc.shape[2]
+        w_hist = weights[:, :, 0, :s, None]      # [B,H,S,1]
+        v_hist = vc
     w_new = weights[:, :, 0, s:, None]       # [B,H,1,1]
-    ctx = (w_hist * vc.astype(jnp.float32)).sum(2)
+    ctx = (w_hist * v_hist.astype(jnp.float32)).sum(2)
     ctx = ctx + (w_new * vn_h.astype(jnp.float32)).sum(2)
     return ctx[:, :, None, :]
 
@@ -143,7 +164,9 @@ def rel_pos_mha_fullbuf(
     q_u = jnp.transpose(qh + bias_u[None, None], (0, 2, 1, 3))  # [B,H,T,Dh]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=x.dtype))
 
-    s_buf = k_buf.shape[2]
+    from .kvquant import dequantize_kv, is_quant, kv_seq_len
+
+    s_buf = kv_seq_len(k_buf, 2)
     kn_h = jnp.transpose(k_new.reshape(B, T, n_heads, d_head), (0, 2, 1, 3))
     vn_h = jnp.transpose(v_new.reshape(B, T, n_heads, d_head), (0, 2, 1, 3))
 
@@ -153,6 +176,9 @@ def rel_pos_mha_fullbuf(
         from ..audio.frontend import _pallas_interpret
         from .attn_pallas import t1_attention_core
 
+        if is_quant(k_buf):  # opt-in comparison kernel: dequantized operands
+            k_buf = dequantize_kv(k_buf, x.dtype)
+            v_buf = dequantize_kv(v_buf, x.dtype)
         pm = (pos_sc.astype(jnp.float32) * scale)[:, :, 0, :] \
             + attn_mask.astype(jnp.float32)[:, None, :]
         ctx = t1_attention_core(
@@ -166,18 +192,31 @@ def rel_pos_mha_fullbuf(
         weights = nn.softmax(scores.astype(jnp.float32), axis=-1)
         ctx = _t1_context(weights, v_buf, vn_h).astype(x.dtype)
     else:
+        if is_quant(k_buf):
+            # int8 cache on the MXU path: the dot consumes the int8 buffer
+            # (converted on read); the per-frame scale folds onto the
+            # [B,H,T,S] scores / softmax weights (constant across Dh).
+            c_hist = jnp.einsum(
+                "bhtd,bhsd->bhts", q_u, k_buf.q.astype(x.dtype)
+            ) * k_buf.s[:, :, None, :].astype(x.dtype)
+        else:
+            c_hist = jnp.einsum("bhtd,bhsd->bhts", q_u, k_buf)
         content = jnp.concatenate(
-            [
-                jnp.einsum("bhtd,bhsd->bhts", q_u, k_buf),
-                jnp.einsum("bhtd,bhsd->bhts", q_u, kn_h),
-            ],
+            [c_hist, jnp.einsum("bhtd,bhsd->bhts", q_u, kn_h)],
             axis=-1,
         )  # [B, H, T, S_buf + T]
         scores = (content + pos_sc) * scale + attn_mask[:, None, None, :]
         weights = nn.softmax(scores, axis=-1)
-        ctx = (
-            jnp.einsum("bhts,bhsd->bhtd", weights[..., :s_buf], v_buf)
-            + jnp.einsum("bhts,bhsd->bhtd", weights[..., s_buf:], vn_h)
+        if is_quant(v_buf):
+            w_hist = weights[..., :s_buf] * v_buf.s[:, :, None, :].astype(
+                weights.dtype)
+            ctx_hist = jnp.einsum("bhts,bhsd->bhtd", w_hist,
+                                  v_buf.q.astype(x.dtype))
+        else:
+            ctx_hist = jnp.einsum("bhts,bhsd->bhtd", weights[..., :s_buf],
+                                  v_buf)
+        ctx = ctx_hist + jnp.einsum(
+            "bhts,bhsd->bhtd", weights[..., s_buf:], vn_h
         )  # [B, H, T, Dh]
     ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, T, D)
     out = linear(ctx, out_w)
@@ -235,7 +274,9 @@ def rel_pos_mha(
     scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=x.dtype))
 
     if split_kv and k_cache is not None:
-        cache_len = k_cache.shape[2]
+        from .kvquant import is_quant, kv_seq_len
+
+        cache_len = kv_seq_len(k_cache, 2)
         klen = cache_len + T
         q_uh = jnp.transpose(q_u, (0, 2, 1, 3))  # [B, H, T, Dh]
         kn_h = jnp.transpose(k_new.reshape(B, T, n_heads, d_head), (0, 2, 1, 3))
@@ -251,11 +292,14 @@ def rel_pos_mha(
             weights = nn.softmax(scores.astype(jnp.float32), axis=-1)
             ctx = _t1_context(weights, v_cache, vn_h).astype(x.dtype)
         else:
+            if is_quant(k_cache):
+                c_hist = jnp.einsum(
+                    "bhtd,bhsd->bhts", q_uh, k_cache.q.astype(x.dtype)
+                ) * k_cache.s[:, :, None, :].astype(x.dtype)
+            else:
+                c_hist = jnp.einsum("bhtd,bhsd->bhts", q_uh, k_cache)
             content = jnp.concatenate(
-                [
-                    jnp.einsum("bhtd,bhsd->bhts", q_uh, k_cache),
-                    jnp.einsum("bhtd,bhsd->bhts", q_uh, kn_h),
-                ],
+                [c_hist, jnp.einsum("bhtd,bhsd->bhts", q_uh, kn_h)],
                 axis=-1,
             )  # [B, H, T, klen]
             scores = (content + pos_sc) * scale
@@ -264,9 +308,14 @@ def rel_pos_mha(
             weights = nn.softmax(scores, axis=-1)
             w_hist = weights[..., :cache_len]
             w_new = weights[..., cache_len:]
-            ctx = (
-                jnp.einsum("bhts,bhsd->bhtd", w_hist, v_cache)
-                + jnp.einsum("bhts,bhsd->bhtd", w_new, vn_h)
+            if is_quant(v_cache):
+                w_hist = w_hist * v_cache.s[:, :, None, :].astype(w_hist.dtype)
+                ctx_hist = jnp.einsum("bhts,bhsd->bhtd", w_hist,
+                                      v_cache.q.astype(x.dtype))
+            else:
+                ctx_hist = jnp.einsum("bhts,bhsd->bhtd", w_hist, v_cache)
+            ctx = ctx_hist + jnp.einsum(
+                "bhts,bhsd->bhtd", w_new, vn_h
             )  # [B, H, T, Dh]
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, T, D)
         out = linear(ctx, out_w)

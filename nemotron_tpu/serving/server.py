@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 import sys
 import threading
 
@@ -292,6 +293,11 @@ def main(argv=None) -> int:
                     help="load weights as bfloat16 (half memory, TPU-native)")
     ap.add_argument("--quantized", action="store_true",
                     help="keep Q8_0 weights quantized in HBM (quarter memory)")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8-quantized attention K/V caches (halves the "
+                         "per-stream cache memory and its HBM read traffic; "
+                         "~0.4%% relative error on attention history reads — "
+                         "see ops/kvquant.py)")
     ap.add_argument("--native", action="store_true",
                     help="GIL-free C++ ingest path (serving/native_server.py);"
                          " same wire protocol, ~none of the Python socket"
@@ -317,6 +323,11 @@ def main(argv=None) -> int:
                          "through a remote compiler on first boot, cached "
                          "after)")
     args = ap.parse_args(argv)
+
+    if args.kv_int8:
+        # must be set before any engine state is allocated (read at
+        # init_stream_state time, ops/kvquant.kv_int8_enabled)
+        os.environ["NEMOTRON_TPU_KV_INT8"] = "1"
 
     from ..api import ASRModel
     import jax.numpy as jnp

@@ -13,8 +13,11 @@ from typing import Any
 
 import jax.numpy as jnp
 
+import jax
+
 from ..config import CacheConfig, Hparams
 from ..models.decoder import DecodeState, init_decode_state
+from ..ops.kvquant import kv_int8_enabled, kv_zeros
 from ..params import _ptree
 
 
@@ -27,6 +30,7 @@ PP_TAIL_LEN = 512 - 160  # n_fft - hop
 @_ptree
 class StreamState:
     k_cache: Any      # [L, B, H, cache_buf_len, Dh] head-major (see encoder)
+                      # — or ops.kvquant.QuantKV when NEMOTRON_TPU_KV_INT8=1
     v_cache: Any      # [L, B, H, cache_buf_len, Dh]
     conv_cache: Any   # [L, B, kernel-1, D]
     cache_valid: Any  # [B] int32
@@ -43,9 +47,11 @@ def init_stream_state(
 ) -> StreamState:
     L, D = hp.n_layers, hp.d_model
     s = cfg.cache_buf_len(hp)  # left context + phase slack
+    kv_shape = (L, batch, hp.n_heads, s, hp.d_head)
+    mk_kv = kv_zeros if kv_int8_enabled() else jnp.zeros
     return StreamState(
-        k_cache=jnp.zeros((L, batch, hp.n_heads, s, hp.d_head), dtype=dtype),
-        v_cache=jnp.zeros((L, batch, hp.n_heads, s, hp.d_head), dtype=dtype),
+        k_cache=mk_kv(kv_shape, dtype),
+        v_cache=mk_kv(kv_shape, dtype),
         conv_cache=jnp.zeros((L, batch, cfg.conv_kernel_size - 1, D), dtype=dtype),
         cache_valid=jnp.zeros((batch,), dtype=jnp.int32),
         decode=init_decode_state(batch, hp, dtype=dtype),
@@ -70,9 +76,12 @@ def reset_slots(state: StreamState, mask, hp: Hparams) -> StreamState:
         mm = m.reshape((b,) + (1,) * (x.ndim - 1))
         return jnp.where(mm, jnp.zeros_like(x), x)
 
-    def z1(x):  # [L, B, ...]
-        mm = m.reshape((1, b) + (1,) * (x.ndim - 2))
-        return jnp.where(mm, jnp.zeros_like(x), x)
+    def z1(x):  # [L, B, ...] (pytree-valued leaves, e.g. QuantKV, supported)
+        def one(a):
+            mm = m.reshape((1, b) + (1,) * (a.ndim - 2))
+            return jnp.where(mm, jnp.zeros_like(a), a)
+
+        return jax.tree.map(one, x)
 
     return StreamState(
         k_cache=z1(state.k_cache),
