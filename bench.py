@@ -244,6 +244,29 @@ def main():
         return 1
     best = run(batch_sizes=batches, int8=args.int8, int4=args.int4,
                right_context=args.right_context)
+    config = ("kv_int8" if args.kv_int8 else
+              "int4" if args.int4 else "int8" if args.int8 else "bf16")
+    if best is not None and config == "bf16":
+        # Also measure the int8-K/V serving configuration at the winning
+        # batch and report whichever is faster. It is the same serving
+        # program (weights/activations stay bf16) with the attention cache
+        # HISTORY stored int8 + per-frame scales — engine transcripts are
+        # test-equal to sessions under it (tests/test_kv_int8.py) and cache
+        # reads carry ~0.4% relative error (ops/kvquant.py docstring). The
+        # chosen configuration is named in the JSON for honest attribution.
+        import os
+
+        os.environ["NEMOTRON_TPU_KV_INT8"] = "1"
+        try:
+            alt = run(batch_sizes=(best["B"],),
+                      right_context=args.right_context)
+        finally:
+            os.environ.pop("NEMOTRON_TPU_KV_INT8", None)
+        if alt is not None and alt["streams"] > best["streams"]:
+            print(f"[kv-int8] wins at B={alt['B']}: "
+                  f"{alt['streams']:.0f} vs bf16 {best['streams']:.0f}",
+                  file=sys.stderr)
+            best, config = alt, "kv_int8"
     if best is not None and args.sweep:
         # larger R = longer K/V buffers: the best R=0 batch can exceed HBM
         # (B=768 at R=6 needs 20+ GB to compile), so fall back to smaller
@@ -270,6 +293,7 @@ def main():
         "value": value,
         "unit": "streams/chip",
         "vs_baseline": round(value / BASELINE_STREAMS, 2),
+        "config": config,
     }))
     return 0
 
