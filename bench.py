@@ -220,6 +220,10 @@ def main():
                          "(stderr rows; the driver JSON metric stays R=0)")
     ap.add_argument("--batches", default=None,
                     help="comma-separated batch sizes (default 256,384,512,768)")
+    ap.add_argument("--no-kv-int8-alt", action="store_true",
+                    help="skip the automatic kv-int8 alternate measurement "
+                         "after the bf16 sweep (saves one compile+measure "
+                         "pass; the headline is then whatever bf16 gave)")
     ap.add_argument("--probe-timeout", type=float, default=1200.0,
                     help="seconds to wait for the subprocess device probe "
                          "before declaring the device unreachable (0 = skip "
@@ -229,6 +233,11 @@ def main():
                if args.batches else (256, 384, 512, 768))
     if args.int8 and args.int4:
         ap.error("--int8 and --int4 are mutually exclusive")
+    if args.kv_int8 and (args.int8 or args.int4):
+        # composable in principle, but the JSON `config` field names ONE
+        # configuration — refuse rather than mislabel the measurement
+        ap.error("--kv-int8 cannot be combined with --int8/--int4 "
+                 "(the config label would be ambiguous)")
     if args.kv_int8:
         # must be set before nemotron_tpu modules allocate state
         import os
@@ -246,7 +255,7 @@ def main():
                right_context=args.right_context)
     config = ("kv_int8" if args.kv_int8 else
               "int4" if args.int4 else "int8" if args.int8 else "bf16")
-    if best is not None and config == "bf16":
+    if best is not None and config == "bf16" and not args.no_kv_int8_alt:
         # Also measure the int8-K/V serving configuration at the winning
         # batch and report whichever is faster. It is the same serving
         # program (weights/activations stay bf16) with the attention cache
@@ -271,18 +280,29 @@ def main():
         # larger R = longer K/V buffers: the best R=0 batch can exceed HBM
         # (B=768 at R=6 needs 20+ GB to compile), so fall back to smaller
         # batches until one fits
+        import os
+
         candidates = [b for b in (best["B"], 512, 384, 256)
                       if b <= best["B"]]
         candidates = list(dict.fromkeys(candidates))
-        for rc in (1, 6, 13):
-            for b in candidates:
-                r = run(batch_sizes=(b,), int8=args.int8, int4=args.int4,
-                        right_context=rc)
-                if r:
-                    print(f"[sweep] R={rc}: B={r['B']} "
-                          f"step={r['step_time'] * 1e3:.2f} ms -> "
-                          f"{r['streams']:.0f} rt streams", file=sys.stderr)
-                    break
+        if config == "kv_int8":
+            # measure the sweep rows under the SAME configuration the
+            # headline reports, or the table would be inconsistent
+            os.environ["NEMOTRON_TPU_KV_INT8"] = "1"
+        try:
+            for rc in (1, 6, 13):
+                for b in candidates:
+                    r = run(batch_sizes=(b,), int8=args.int8, int4=args.int4,
+                            right_context=rc)
+                    if r:
+                        print(f"[sweep] R={rc}: B={r['B']} "
+                              f"step={r['step_time'] * 1e3:.2f} ms -> "
+                              f"{r['streams']:.0f} rt streams "
+                              f"({config})", file=sys.stderr)
+                        break
+        finally:
+            if config == "kv_int8" and not args.kv_int8:
+                os.environ.pop("NEMOTRON_TPU_KV_INT8", None)
     if best is None:
         print(json.dumps({"metric": "concurrent_realtime_streams_80ms",
                           "value": 0, "unit": "streams/chip", "vs_baseline": 0.0}))

@@ -398,11 +398,12 @@ class ASRModel:
 
         def build():
             @jax.jit
-            def fn(params, mel, n_frames, dec_state, prompt_idx):
+            def fn(params, mel, n_frames, dec_state, prompt_idx, n_mel_frames):
                 return transcribe_batch(
                     params, mel, hp=hp, n_frames=n_frames,
                     dec_state=dec_state,
                     prompt_idx=prompt_idx if hp.num_prompts > 0 else None,
+                    n_mel_frames=n_mel_frames,
                 )
 
             return fn
@@ -443,6 +444,7 @@ class ASRModel:
                 jnp.asarray([n_sub], dtype=jnp.int32),
                 dec_state,
                 pidx,
+                jnp.asarray([t_real], dtype=jnp.int32),
             )
             arr = np.asarray(tokens[0])
             for t in range(n_sub):
@@ -505,12 +507,15 @@ class ASRModel:
             t_pad = min(-(-t_max // MEL_BUCKET) * MEL_BUCKET, seg)
             padded = np.zeros((B, t_pad, hp.n_mels), dtype=np.float32)
             n_sub = np.zeros((B,), dtype=np.int32)
+            n_mel = np.zeros((B,), dtype=np.int32)
             for i, p in enumerate(parts):
                 padded[i, : p.shape[0]] = p
                 n_sub[i] = hp.subsampled_len(p.shape[0]) if p.shape[0] else 0
+                n_mel[i] = p.shape[0]
             fn = self._batch_fn(t_pad, B)
             tokens, dec_state = fn(self.params, jnp.asarray(padded),
-                                   jnp.asarray(n_sub), dec_state, pidx)
+                                   jnp.asarray(n_sub), dec_state, pidx,
+                                   jnp.asarray(n_mel))
             from .models.asr import tokens_to_list
 
             for i, seq in enumerate(tokens_to_list(tokens, n_sub)):

@@ -288,20 +288,23 @@ def fused_serve_tick_multi(
 
 
 def transcribe_batch(params, mel, *, hp: Hparams, prompt_idx=None, n_frames=None,
-                     dec_state=None):
+                     dec_state=None, n_mel_frames=None):
     """Offline path: mel [B, T, n_mels] -> (tokens [B, T', S], dec_state').
 
     Mirrors nemo_encode (nemo-ggml.cpp:1592-1668): full-context encoder over the
     utterance, then greedy decode; T is capped at 8*hp.max_pos_len mel frames.
-    n_frames ([B] int32, subsampled-frame counts) enables padded/bucketed input;
-    dec_state carries the RNNT decoder across segments of long audio
-    (nemo_transcribe_audio_with_state, nemo-ggml.cpp:1739-1819).
+    n_frames ([B] int32, subsampled-frame counts) plus n_mel_frames ([B] int32,
+    valid mel frames) enable padded/bucketed input bit-equal to exact-length
+    runs (see encode_batch); dec_state carries the RNNT decoder across
+    segments of long audio (nemo_transcribe_audio_with_state,
+    nemo-ggml.cpp:1739-1819).
     """
     prompt_onehot = None
     if params.prompt is not None and prompt_idx is not None:
         prompt_onehot = jax.nn.one_hot(prompt_idx, hp.num_prompts, dtype=mel.dtype)
     enc = encode_batch(
-        params, hp, mel, prompt_onehot=prompt_onehot, n_frames=n_frames
+        params, hp, mel, prompt_onehot=prompt_onehot, n_frames=n_frames,
+        n_mel_frames=n_mel_frames,
     )
     b = enc.shape[0]
     if dec_state is None:
@@ -327,9 +330,11 @@ def make_stream_step(params, hp: Hparams, cfg: CacheConfig, donate: bool = True)
 
 
 @functools.partial(jax.jit, static_argnames=("hp",))
-def transcribe_batch_jit(params, mel, n_frames, dec_state, *, hp: Hparams):
+def transcribe_batch_jit(params, mel, n_frames, dec_state, *, hp: Hparams,
+                         n_mel_frames=None):
     return transcribe_batch(
-        params, mel, hp=hp, n_frames=n_frames, dec_state=dec_state
+        params, mel, hp=hp, n_frames=n_frames, dec_state=dec_state,
+        n_mel_frames=n_mel_frames,
     )
 
 

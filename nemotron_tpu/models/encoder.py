@@ -190,7 +190,8 @@ def pos_emb_slice(pos_table, pos_len: int):
     return jax.lax.slice_in_dim(pos_table, off, off + pos_len, axis=0)
 
 
-def encode_batch(params, hp: Hparams, mel, prompt_onehot=None, n_frames=None):
+def encode_batch(params, hp: Hparams, mel, prompt_onehot=None, n_frames=None,
+                 n_mel_frames=None):
     """Offline encoder. mel: [B, T, n_mels] -> [B, T', d_model].
 
     T' = subsampled_len(T); full bidirectional attention over the utterance as
@@ -198,13 +199,17 @@ def encode_batch(params, hp: Hparams, mel, prompt_onehot=None, n_frames=None):
     frames.
 
     n_frames: optional [B] int32 — valid *subsampled* length per sequence.
-    Because every conv in the stack is causal, zero-padding at the end never
-    leaks backwards through convs; masking padded keys in attention makes the
-    valid prefix of a padded batch bit-equivalent to an exact-length run. This
-    enables bucketed compilation and ragged batched offline transcription
-    (which the single-sequence reference cannot do).
+    n_mel_frames: optional [B] int32 — valid MEL frames (pre-subsampling).
+    Every conv in the stack is causal, so zero-padding at the end never leaks
+    backwards through convs; masking padded keys in attention AND each
+    subsampling level at its exact-length width (the stride-2 right pad makes
+    the boundary frame read one position past the end — see
+    ops/conv._mask_valid_h) makes the valid prefix of a padded batch
+    bit-equivalent to an exact-length run. This enables bucketed compilation
+    and ragged batched offline transcription (which the single-sequence
+    reference cannot do).
     """
-    x = conv_subsampling(params.subsampling, mel)
+    x = conv_subsampling(params.subsampling, mel, n_frames=n_mel_frames)
     t = x.shape[1]
     pe = pos_emb_slice(params.pos_emb, 2 * t - 1)
 

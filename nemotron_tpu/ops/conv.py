@@ -74,22 +74,58 @@ def causal_dw_conv2d(x, w, b, stride: int):
     return y + b
 
 
-def conv_subsampling(sub, mel):
+def _mask_valid_h(x, valid):
+    """Zero time positions >= valid ([B] int32) of x [B, H, W, C].
+
+    Ragged-batch equivalence: each stride-2 level's right pad is (s-1)=1, so
+    the LAST output of an exact-length run reads one position past the end —
+    a pad ZERO. In a zero-padded batch that position holds a computed value
+    instead (the conv bias + relu propagate nonzero constants through zero
+    input), so without this mask the boundary output frame differs from the
+    exact-length run and attention spreads the error everywhere (caught by
+    tests/test_e2e_oracle.py). Zeroing each level at its exact-length valid
+    width restores bit-equivalence."""
+    pos = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
+    keep = (pos < valid[:, None])[:, :, None, None]
+    return jnp.where(keep, x, jnp.zeros((), x.dtype))
+
+
+def conv_subsampling(sub, mel, n_frames=None):
     """Depthwise-separable 8x subsampling. mel: [B, T, n_mels] -> [B, T', d_model].
 
     Flatten order matches the reference ([W, C, H] permute, flat = c*W_out + w:
     nemo-ggml.cpp:1014-1022).
+
+    n_frames: optional [B] int32 valid MEL frames for zero-padded ragged
+    batches. Each stride-2 level is masked to its exact-length output width
+    (t -> t//2 + 1), making the valid prefix BIT-EQUAL to an exact-length
+    run (see _mask_valid_h). Without it, padded batches are only correct for
+    full-width inputs (the streaming path, whose chunks are always exact).
     """
     mel = mel.astype(sub.conv0_w.dtype)  # frontend emits f32; follow params
+    valid = None if n_frames is None else n_frames.astype(jnp.int32)
+
+    def step_valid(v):
+        return None if v is None else v // 2 + 1
+
     x = mel[..., None]  # [B, H=T, W=mels, C=1]
     x = causal_conv2d(x, sub.conv0_w, sub.conv0_b, 2)
     x = jax.nn.relu(x)
+    valid = step_valid(valid)
+    if valid is not None:
+        x = _mask_valid_h(x, valid)
     x = causal_dw_conv2d(x, sub.conv2_w, sub.conv2_b, 2)
     x = linear(x, sub.conv3_w[:, :, 0, 0], sub.conv3_b)  # pointwise = matmul
     x = jax.nn.relu(x)
+    valid = step_valid(valid)
+    if valid is not None:
+        x = _mask_valid_h(x, valid)
     x = causal_dw_conv2d(x, sub.conv5_w, sub.conv5_b, 2)
     x = linear(x, sub.conv6_w[:, :, 0, 0], sub.conv6_b)
     x = jax.nn.relu(x)
+    valid = step_valid(valid)
+    if valid is not None:
+        x = _mask_valid_h(x, valid)
     b, ho, wo, c = x.shape
     flat = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, ho, c * wo)
     return linear(flat, sub.out_w, sub.out_b)
