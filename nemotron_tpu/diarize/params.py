@@ -162,6 +162,15 @@ def _load_blocks(raw, ns, topology):
     return tuple(blocks)
 
 
+def _norm_fb(arr):
+    """NeMo registers fb as [1, n_mels, n_bins] (librosa mel unsqueezed);
+    converted checkpoints pass it through raw — normalize to 2D."""
+    arr = np.asarray(arr)
+    if arr.ndim == 3:
+        arr = arr.reshape(arr.shape[-2], arr.shape[-1])
+    return arr
+
+
 def load_diarize_model(path: str) -> DiarizeModelParams:
     g = read_gguf(path)
     raw = g.load_all()
@@ -171,8 +180,8 @@ def load_diarize_model(path: str) -> DiarizeModelParams:
         blocks=_load_blocks(raw, "vad", VAD_TOPOLOGY),
         dec_w=J(raw["vad.decoder.decoder_layers.0.weight"]),
         dec_b=J(raw["vad.decoder.decoder_layers.0.bias"]),
-        fb=J(raw["vad.preprocessor.featurizer.fb"]),
-        window=J(raw["vad.preprocessor.featurizer.window"]),
+        fb=J(_norm_fb(raw["vad.preprocessor.featurizer.fb"])),
+        window=J(np.asarray(raw["vad.preprocessor.featurizer.window"]).reshape(-1)),
     )
 
     dp = "spk.decoder"
@@ -193,7 +202,7 @@ def load_diarize_model(path: str) -> DiarizeModelParams:
     spk = SpkParams(
         blocks=_load_blocks(raw, "spk", SPK_TOPOLOGY),
         dec=dec,
-        fb=J(raw["spk.preprocessor.featurizer.fb"]),
-        window=J(raw["spk.preprocessor.featurizer.window"]),
+        fb=J(_norm_fb(raw["spk.preprocessor.featurizer.fb"])),
+        window=J(np.asarray(raw["spk.preprocessor.featurizer.window"]).reshape(-1)),
     )
     return DiarizeModelParams(vad=vad, spk=spk, kv=g.kv)

@@ -332,9 +332,17 @@ def load_model(
             fc2_b=J("prompt_kernel.2.bias"),
         )
 
+    # NeMo's FilterbankFeatures registers fb as [1, n_mels, n_bins] (librosa
+    # mel matrix unsqueezed); converted checkpoints pass it through raw —
+    # normalize to the 2D [n_mels, n_bins] the frontend consumes.
+    fb = np.asarray(raw["preprocessor.featurizer.fb"], dtype=np.float32)
+    if fb.ndim == 3:
+        fb = fb.reshape(fb.shape[-2], fb.shape[-1])
+    win = np.asarray(raw["preprocessor.featurizer.window"],
+                     dtype=np.float32).reshape(-1)
     preproc = PreprocParams(
-        filterbank=jnp.asarray(raw["preprocessor.featurizer.fb"], dtype=jnp.float32),
-        window=jnp.asarray(raw["preprocessor.featurizer.window"], dtype=jnp.float32),
+        filterbank=jnp.asarray(fb),
+        window=jnp.asarray(win),
     )
 
     pos_emb = jnp.asarray(compute_pos_emb(hp.max_pos_len, hp.d_model), dtype=dtype)
