@@ -41,10 +41,16 @@ class StreamClient:
         return opcode, stream_id, payload
 
     async def start_stream(self, right_context: int = 0,
-                           lang: str | None = None) -> int:
+                           lang: str | None = None,
+                           diarize: bool = False,
+                           num_speakers: int = -1) -> int:
         cfg: dict = {"right_context": right_context}
         if lang:
             cfg["lang"] = lang
+        if diarize:
+            cfg["diarize"] = True
+            if num_speakers > 0:
+                cfg["num_speakers"] = num_speakers
         await self.send(P.OP_STREAM_START, 0, json.dumps(cfg))
         opcode, _sid, payload = await self.recv()
         if opcode == P.OP_ERROR:
@@ -63,10 +69,14 @@ class StreamClient:
 async def transcribe_file(audio_i16: np.ndarray, host=None, port=None,
                           unix_path=None, right_context=0, lang=None,
                           chunk_ms=200, realtime=False,
-                          on_text=None) -> str:
-    """Stream a whole buffer; returns the full transcript."""
+                          on_text=None, diarize=False, num_speakers=-1,
+                          on_diarize=None) -> str:
+    """Stream a whole buffer; returns the full transcript. With diarize=True
+    (server started with --diarize) every OP_DIARIZE JSONL line is passed to
+    on_diarize; the final {"type":"result",...} line arrives before ENDED."""
     client = await StreamClient.connect(host, port, unix_path)
-    sid = await client.start_stream(right_context, lang)
+    sid = await client.start_stream(right_context, lang, diarize=diarize,
+                                    num_speakers=num_speakers)
     chunk = 16 * chunk_ms
 
     texts: list[str] = []
@@ -82,6 +92,9 @@ async def transcribe_file(audio_i16: np.ndarray, host=None, port=None,
                 texts.append(t)
                 if on_text:
                     on_text(t)
+            elif opcode == P.OP_DIARIZE:
+                if on_diarize:
+                    on_diarize(payload.decode("utf-8", errors="replace"))
             elif opcode == P.OP_ENDED:
                 t = payload.decode("utf-8", errors="replace")
                 if t:
@@ -121,6 +134,10 @@ def main(argv=None) -> int:
     ap.add_argument("--right-context", type=int, default=0)
     ap.add_argument("--chunk-ms", type=int, default=200)
     ap.add_argument("--realtime", action="store_true")
+    ap.add_argument("--diarize", action="store_true",
+                    help="request per-stream diarization (server must run "
+                         "with --diarize); prints JSONL frames to stderr")
+    ap.add_argument("--num-speakers", type=int, default=-1)
     args = ap.parse_args(argv)
 
     audio = np.fromfile(args.audio, dtype="<i2")
@@ -133,9 +150,14 @@ def main(argv=None) -> int:
         sys.stdout.write(t)
         sys.stdout.flush()
 
+    def on_diarize(line):
+        print(line, file=sys.stderr)
+
     text = asyncio.run(
         transcribe_file(audio, host, port, args.unix, args.right_context,
-                        args.lang, args.chunk_ms, args.realtime, on_text)
+                        args.lang, args.chunk_ms, args.realtime, on_text,
+                        diarize=args.diarize, num_speakers=args.num_speakers,
+                        on_diarize=on_diarize)
     )
     print()
     return 0

@@ -24,6 +24,13 @@ OP_ACK = 0x82           # payload: JSON {"queued_samples":N}
 OP_TEXT = 0x83          # payload: UTF-8 incremental transcript
 OP_ENDED = 0x84         # payload: UTF-8 final flushed text
 OP_LANG_SET = 0x85      # payload: JSON {"id":N,"lang":...,"index":M}
+# Diarization frames (BEYOND the reference, which exposes diarization only
+# via CLI; opt-in per stream with {"diarize": true} in OP_STREAM_START, so
+# the wire stays byte-compatible for clients that never ask). Incremental
+# frames are word JSONL ({"word":...,"at":...}); the final frame (sent
+# before OP_ENDED) is {"type":"result","speaker_text":...,"rttm":...,
+# "n_speakers":N}.
+OP_DIARIZE = 0x86
 OP_ERROR = 0x8F         # payload: UTF-8 message
 
 # Fairness: PUSH payloads are split into <= 8000-sample (~0.5 s) segments so

@@ -31,7 +31,8 @@ from . import protocol as P
 
 class StreamServer:
     def __init__(self, model, batch_per_group: int = 32,
-                 mem_budget: int = P.DEFAULT_MEM_BUDGET):
+                 mem_budget: int = P.DEFAULT_MEM_BUDGET,
+                 diarize_params=None):
         self.engine = BatchedEngine(model, batch_per_group)
         self.mem_budget = mem_budget
         self.mem_used = 0
@@ -45,6 +46,12 @@ class StreamServer:
         self._engine_task: asyncio.Task | None = None
         self._stop = False
         self._queued_samples: dict[int, int] = {}
+        # Optional per-stream diarization ({"diarize": true} on START).
+        # Pipelines run ON THE ENGINE THREAD (the process's single device
+        # thread — axon deadlocks under concurrent device calls); protocol
+        # handlers only append PCM to the per-stream deque (GIL-atomic).
+        self.diarize_params = diarize_params
+        self._diar: dict[int, dict] = {}  # sid -> {pipeline, audio: deque}
 
     # ------------------------------------------------------------------
     async def _send(self, writer: asyncio.StreamWriter, frame: bytes) -> None:
@@ -72,6 +79,7 @@ class StreamServer:
             for sid in list(self.conn_streams.get(writer, ())):
                 self.engine.drop_stream(sid)
                 self.writers.pop(sid, None)
+                self._diar.pop(sid, None)
                 freed += 2 * self._queued_samples.pop(sid, 0)
             self.conn_streams.pop(writer, None)
             if freed:
@@ -89,6 +97,13 @@ class StreamServer:
                     cfg = json.loads(payload.decode("utf-8"))
                 except (ValueError, UnicodeDecodeError):
                     cfg = {}
+            want_diar = bool(cfg.get("diarize"))
+            if want_diar and self.diarize_params is None:
+                await self._send(writer, P.pack(
+                    P.OP_ERROR, 0,
+                    "diarization not enabled (start the server with "
+                    "--diarize <diarize.gguf>)"))
+                return
             try:
                 sid = self.engine.start_stream(
                     right_context=int(cfg.get("right_context", 0)),
@@ -97,6 +112,17 @@ class StreamServer:
             except RuntimeError as e:
                 await self._send(writer, P.pack(P.OP_ERROR, 0, str(e)))
                 return
+            if want_diar:
+                from collections import deque
+
+                from ..diarize.pipeline import DiarizePipeline
+
+                self._diar[sid] = {
+                    "pipeline": DiarizePipeline(
+                        self.diarize_params,
+                        num_speakers=int(cfg.get("num_speakers", -1))),
+                    "audio": deque(),
+                }
             self.writers[sid] = writer
             self.conn_streams[writer].add(sid)
             self._queued_samples[sid] = 0
@@ -122,6 +148,9 @@ class StreamServer:
                 self.engine.push_audio(
                     stream_id, audio[off : off + P.MAX_SEGMENT_SAMPLES]
                 )
+            d = self._diar.get(stream_id)
+            if d is not None:
+                d["audio"].append(audio)
             self.wake.set()
             await self._send(
                 writer,
@@ -152,6 +181,38 @@ class StreamServer:
                 writer, P.pack(P.OP_ERROR, stream_id, f"bad opcode {opcode}"))
 
     # ------------------------------------------------------------------
+    def _diarize_step(self, events) -> list[tuple[int, str]]:
+        """Advance diarization pipelines (ENGINE THREAD ONLY — device calls).
+
+        Drains each diarize stream's staged PCM, feeds this tick's text
+        events as words, and returns (stream_id, json_line) frames: word
+        JSONL incrementally, a {"type":"result",...} object on end (emitted
+        BEFORE the stream's OP_ENDED by engine_loop's ordering)."""
+        frames: list[tuple[int, str]] = []
+        for sid, d in list(self._diar.items()):
+            p = d["pipeline"]
+            q = d["audio"]
+            while q:
+                p.push_audio(q.popleft().astype(np.float32) / 32768.0)
+            for ev in events:
+                if ev.stream_id == sid and ev.text:
+                    p.push_text(ev.text, p.total_samples / 16000.0)
+            for line in p.drain_json():
+                frames.append((sid, line))
+            if any(ev.stream_id == sid and ev.kind == "ended"
+                   for ev in events):
+                res = p.finalize()
+                for line in p.drain_json():  # finalize flushes the last word
+                    frames.append((sid, line))
+                frames.append((sid, json.dumps({
+                    "type": "result",
+                    "speaker_text": res.speaker_text,
+                    "rttm": res.rttm,
+                    "n_speakers": res.n_speakers,
+                })))
+                del self._diar[sid]
+        return frames
+
     def _engine_thread(self, loop: asyncio.AbstractEventLoop,
                        out_q: asyncio.Queue) -> None:
         """Tick loop on a dedicated thread: runs back-to-back ticks while work
@@ -167,10 +228,13 @@ class StreamServer:
                 while more and not self._stop:
                     events, more = self.engine.tick()
                     consumed = self.engine.drain_consumed()
-                    if events or consumed:
+                    diar_frames = (self._diarize_step(events)
+                                   if self._diar else [])
+                    if events or consumed or diar_frames:
                         try:
-                            loop.call_soon_threadsafe(out_q.put_nowait,
-                                                      (events, consumed))
+                            loop.call_soon_threadsafe(
+                                out_q.put_nowait,
+                                (events, consumed, diar_frames))
                         except RuntimeError:  # loop closed: shutting down
                             self._stop = True
                             return
@@ -201,7 +265,7 @@ class StreamServer:
                 if item is None:  # engine thread died — shut the server down
                     raise RuntimeError(
                         "engine thread died; shutting the server down")
-                events, consumed = item
+                events, consumed, diar_frames = item
                 # release budget as the engine consumes queued PCM (reference
                 # semantics: nemo-server.cpp:116-126 releases per DATA event,
                 # not on stream end — long-lived streams must not accumulate)
@@ -214,6 +278,16 @@ class StreamServer:
                 # batched delivery: buffer every frame first, then one drain
                 # per touched writer (per-event awaits serialized the loop)
                 touched: set[asyncio.StreamWriter] = set()
+                # diarize frames first so a stream's final result precedes
+                # its OP_ENDED on the wire
+                for sid, line in diar_frames:
+                    w = self.writers.get(sid)
+                    if w is not None:
+                        try:
+                            w.write(P.pack(P.OP_DIARIZE, sid, line))
+                            touched.add(w)
+                        except (ConnectionError, RuntimeError):
+                            pass
                 for ev in events:
                     w = self.writers.get(ev.stream_id)
                     if ev.kind == "text":
@@ -315,6 +389,12 @@ def main(argv=None) -> int:
                     help="benchmark plumbing: add this to the joint blank "
                          "logit bias (random-weight models emit ~nothing "
                          "without it; see bench.py)")
+    ap.add_argument("--diarize", default=None, metavar="DIARIZE_GGUF",
+                    help="enable per-stream diarization: streams that START "
+                         "with {\"diarize\": true} get OP_DIARIZE word JSONL "
+                         "frames + a final result frame (the reference only "
+                         "exposes diarization via CLI). Not supported with "
+                         "--native yet.")
     ap.add_argument("--prewarm", action="store_true",
                     help="compile every tick variant before accepting "
                          "connections (the reference pre-builds all graphs "
@@ -352,7 +432,17 @@ def main(argv=None) -> int:
         model.shard(make_mesh(args.dp, args.tp))
         print(f"mesh serving: dp={args.dp} x tp={args.tp}", file=sys.stderr)
 
+    diarize_params = None
+    if args.diarize:
+        from ..diarize.params import load_diarize_model
+
+        diarize_params = load_diarize_model(args.diarize)
+        print(f"diarization enabled ({args.diarize})", file=sys.stderr)
+
     if args.native:
+        if diarize_params is not None:
+            ap.error("--diarize is not supported with --native yet "
+                     "(the native ingest path has no per-stream event hook)")
         from .native_server import NativeStreamServer
 
         srv = NativeStreamServer(model, batch_per_group=args.batch,
@@ -367,7 +457,8 @@ def main(argv=None) -> int:
         return 0
 
     srv = StreamServer(model, batch_per_group=args.batch,
-                       mem_budget=args.mem_budget)
+                       mem_budget=args.mem_budget,
+                       diarize_params=diarize_params)
     if args.prewarm:
         print("prewarming tick variants...", file=sys.stderr)
         srv.engine.prewarm()

@@ -1,0 +1,151 @@
+"""Diarization over the serving protocol (VERDICT round-3 item 9 — a
+beyond-reference capability: the reference exposes diarization only via CLI).
+
+A stream that STARTs with {"diarize": true} on a --diarize server receives
+OP_DIARIZE word JSONL frames as words decode and one final
+{"type":"result","speaker_text":...,"rttm":...} frame BEFORE its OP_ENDED;
+plain streams and diarize streams multiplex on the same engine; requesting
+diarization on a server without a diarize model is a protocol error."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from helpers import tiny_model
+from scripts_support import export_random_diarize_checkpoint
+
+from nemotron_tpu.api import ASRModel
+from nemotron_tpu.serving import protocol as P
+from nemotron_tpu.serving.client import StreamClient, transcribe_file
+from nemotron_tpu.serving.server import StreamServer
+from nemotron_tpu.streaming.session import StreamSession
+
+
+def make_audio(n, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 260 * t) + 0.2 * rng.standard_normal(n)
+    return (np.clip(sig, -1, 1) * 32767).astype(np.int16)
+
+
+def build_model(seed=0):
+    hp, params = tiny_model(seed=seed)
+    vocab = [("▁w%d" % i) if i % 2 == 0 else ("p%d" % i)
+             for i in range(hp.vocab_size - 1)]
+    return ASRModel(hp, params, vocab)
+
+
+@pytest.fixture(scope="module")
+def diarize_params(tmp_path_factory):
+    from nemotron_tpu.diarize.params import load_diarize_model
+
+    path = tmp_path_factory.mktemp("dz") / "diarize.gguf"
+    export_random_diarize_checkpoint(str(path), seed=7)
+    return load_diarize_model(str(path))
+
+
+async def start_test_server(model, diarize_params):
+    srv = StreamServer(model, batch_per_group=4, diarize_params=diarize_params)
+    srv._engine_task = asyncio.create_task(srv.engine_loop())
+    server = await asyncio.start_server(srv.handle_conn, "127.0.0.1", 0)
+    port = server.sockets[0].getsockname()[1]
+    return srv, server, port
+
+
+def test_diarize_stream_gets_word_and_result_frames(diarize_params):
+    model = build_model()
+    audio = make_audio(3 * 16000, seed=2)  # 3 s: enough for VAD sub-segments
+
+    sess = StreamSession(model, 0)
+    sess.process_incremental(audio)
+    sess.finalize()
+    want_text = sess.get_transcript()
+
+    async def run():
+        srv, server, port = await start_test_server(model, diarize_params)
+        lines: list[str] = []
+        try:
+            text = await asyncio.wait_for(
+                transcribe_file(audio, host="127.0.0.1", port=port,
+                                chunk_ms=100, diarize=True,
+                                on_diarize=lines.append),
+                timeout=300,
+            )
+            return text, lines
+        finally:
+            server.close()
+
+    got, lines = asyncio.run(run())
+    assert got == want_text  # diarization must not perturb the transcript
+
+    objs = [json.loads(x) for x in lines]
+    results = [o for o in objs if o.get("type") == "result"]
+    words = [o for o in objs if "word" in o]
+    assert len(results) == 1, f"want exactly one result frame, got {objs}"
+    assert results[0]["n_speakers"] >= 1
+    assert "speaker_text" in results[0] and "rttm" in results[0]
+    # the result frame arrives LAST (engine_loop orders it before OP_ENDED)
+    assert objs[-1]["type"] == "result"
+    # every transcript word surfaced as an incremental frame with a timestamp
+    assert len(words) == len(want_text.split())
+    assert all(w["at"] >= 0 for w in words)
+
+
+def test_plain_and_diarize_streams_multiplex(diarize_params):
+    model = build_model()
+    a_plain = make_audio(9600, seed=3)
+    a_diar = make_audio(16000, seed=4)
+
+    async def run():
+        srv, server, port = await start_test_server(model, diarize_params)
+        try:
+            client = await StreamClient.connect("127.0.0.1", port)
+            sid_p = await client.start_stream()
+            sid_d = await client.start_stream(diarize=True)
+            for off in range(0, 16000, 1600):
+                await client.push(sid_p, a_plain[off:off + 1600])
+                await client.push(sid_d, a_diar[off:off + 1600])
+            await client.send(P.OP_STREAM_END, sid_p)
+            await client.send(P.OP_STREAM_END, sid_d)
+
+            ended, diar_frames, texts = set(), [], {sid_p: "", sid_d: ""}
+            while len(ended) < 2:
+                opcode, rsid, payload = await asyncio.wait_for(
+                    client.recv(), timeout=120)
+                if opcode == P.OP_TEXT or opcode == P.OP_ENDED:
+                    texts[rsid] += payload.decode("utf-8", errors="replace")
+                    if opcode == P.OP_ENDED:
+                        ended.add(rsid)
+                elif opcode == P.OP_DIARIZE:
+                    diar_frames.append((rsid, payload.decode()))
+            client.close()
+            return texts, diar_frames, sid_p, sid_d
+        finally:
+            server.close()
+
+    texts, diar_frames, sid_p, sid_d = asyncio.run(run())
+    assert texts[sid_p] and texts[sid_d]
+    assert diar_frames, "diarize stream produced no frames"
+    # only the diarize stream gets OP_DIARIZE
+    assert {sid for sid, _ in diar_frames} == {sid_d}
+
+
+def test_diarize_without_server_model_is_an_error():
+    model = build_model()
+
+    async def run():
+        srv, server, port = await start_test_server(model, None)
+        try:
+            client = await StreamClient.connect("127.0.0.1", port)
+            with pytest.raises(RuntimeError, match="diarization not enabled"):
+                await client.start_stream(diarize=True)
+            # the connection stays usable for plain streams
+            sid = await client.start_stream()
+            assert sid >= 0
+            client.close()
+        finally:
+            server.close()
+
+    asyncio.run(run())
