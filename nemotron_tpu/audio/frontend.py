@@ -47,13 +47,17 @@ def _mel_kernel(buf, window512, filterbank, *, n_frames):
     if _USE_PALLAS_MEL and buf.ndim == 2 and buf.shape[0] % 8 == 0:
         from ..ops.mel_pallas import HAVE_PALLAS, N_BINS_PADDED, mel_frames_pallas
 
-        if HAVE_PALLAS:
+        # Interpret-only: Mosaic rejects the hop-160 framing slices (lane
+        # offsets must be 128-aligned) — measured round 4, lever CLOSED
+        # (PERF.md "Fused Pallas mel"). On real TPU the flag falls back to
+        # the XLA fusion instead of crashing the serving path.
+        if HAVE_PALLAS and _pallas_interpret():
             fb_t = jnp.pad(
                 filterbank, ((0, 0), (0, N_BINS_PADDED - filterbank.shape[1]))
             ).T
             return mel_frames_pallas(buf, window512[None, :], fb_t,
                                      n_frames=n_frames, block_b=8,
-                                     interpret=_pallas_interpret())
+                                     interpret=True)
     frames = melops.frame_signal(buf, n_frames)
     return melops.mel_from_frames(frames, window512, filterbank)
 

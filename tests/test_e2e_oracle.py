@@ -177,18 +177,25 @@ def test_offline_e2e_tokens_match_torch_oracle():
     assert got == want
 
 
-def test_streaming_e2e_tokens_match_torch_oracle():
+@pytest.mark.parametrize("right_context", [0, 1])
+def test_streaming_e2e_tokens_match_torch_oracle(right_context):
     """Chunked StreamSession (incremental PCM feed + finalize) vs the torch
     banded-attention oracle over the same audio: token identity. This is
     batch-vs-stream consistency anchored to an EXTERNAL oracle, not the
-    self-authored numpy stream golden."""
+    self-authored numpy stream golden.
+
+    right_context=1 exercises the lookahead modes (the reference's default
+    is R=13): the chunk grows to chunk_len frames which attend each other
+    (within-chunk lookahead), so the SAME banded mask covers every latency
+    mode — only chunk_len changes."""
     from nemotron_tpu.api import ASRModel
     from nemotron_tpu.streaming.session import StreamSession
 
     model = ASRModel.random(HP, seed=0)
     pcm = synth_audio(1.0)
+    cfg = tiny_cfg(HP, right_context=right_context)
 
-    sess = StreamSession(model, CFG)
+    sess = StreamSession(model, cfg)
     step = 1600  # 100 ms feeds
     for i in range(0, len(pcm), step):
         sess.process_incremental(pcm[i:i + step])
@@ -200,6 +207,6 @@ def test_streaming_e2e_tokens_match_torch_oracle():
     mel_oracle = O.torch_mel(
         pcm, np.asarray(PARAMS.preproc.filterbank),
         np.asarray(PARAMS.preproc.window)).numpy()
-    want = O.oracle_transcribe_streaming(mel_oracle, PARAMS, HP, CFG, n_frames)
+    want = O.oracle_transcribe_streaming(mel_oracle, PARAMS, HP, cfg, n_frames)
     assert len(want) > 3, "oracle produced a trivial transcript"
     assert got == want
