@@ -15,7 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gguf.reader import read_gguf
-from ..params import _ptree
+# norm_featurizer_fb is shared with the ASR loader — a fb-layout quirk fixed
+# in one loader must not ship broken in the other
+from ..params import _ptree, norm_featurizer_fb as _norm_fb
 
 ENC_BN_EPS = 1e-3
 DEC_BN_EPS = 1e-5
@@ -160,15 +162,6 @@ def _load_blocks(raw, ns, topology):
         blocks.append(JasperBlockParams(subs=tuple(subs), res=res,
                                         se_fc1=se_fc1, se_fc2=se_fc2))
     return tuple(blocks)
-
-
-def _norm_fb(arr):
-    """NeMo registers fb as [1, n_mels, n_bins] (librosa mel unsqueezed);
-    converted checkpoints pass it through raw — normalize to 2D."""
-    arr = np.asarray(arr)
-    if arr.ndim == 3:
-        arr = arr.reshape(arr.shape[-2], arr.shape[-1])
-    return arr
 
 
 def load_diarize_model(path: str) -> DiarizeModelParams:

@@ -243,6 +243,17 @@ def _normalize_conv_weights(name: str, arr: np.ndarray) -> np.ndarray:
     return arr
 
 
+def norm_featurizer_fb(arr) -> np.ndarray:
+    """NeMo's FilterbankFeatures registers fb as [1, n_mels, n_bins] (librosa
+    mel matrix unsqueezed); converted checkpoints pass it through raw —
+    normalize to the 2D [n_mels, n_bins] the frontends consume. Shared by the
+    ASR loader here and the diarize loader (diarize/params.py)."""
+    arr = np.asarray(arr, dtype=np.float32)
+    if arr.ndim == 3:
+        arr = arr.reshape(arr.shape[-2], arr.shape[-1])
+    return arr
+
+
 def load_model(
     path: str, dtype=jnp.float32, keep_quantized: bool = False
 ) -> tuple[Hparams, ModelParams, dict]:
@@ -332,12 +343,7 @@ def load_model(
             fc2_b=J("prompt_kernel.2.bias"),
         )
 
-    # NeMo's FilterbankFeatures registers fb as [1, n_mels, n_bins] (librosa
-    # mel matrix unsqueezed); converted checkpoints pass it through raw —
-    # normalize to the 2D [n_mels, n_bins] the frontend consumes.
-    fb = np.asarray(raw["preprocessor.featurizer.fb"], dtype=np.float32)
-    if fb.ndim == 3:
-        fb = fb.reshape(fb.shape[-2], fb.shape[-1])
+    fb = norm_featurizer_fb(raw["preprocessor.featurizer.fb"])
     win = np.asarray(raw["preprocessor.featurizer.window"],
                      dtype=np.float32).reshape(-1)
     preproc = PreprocParams(

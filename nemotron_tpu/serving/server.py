@@ -52,6 +52,13 @@ class StreamServer:
         # handlers only append PCM to the per-stream deque (GIL-atomic).
         self.diarize_params = diarize_params
         self._diar: dict[int, dict] = {}  # sid -> {pipeline, audio: deque}
+        # Samples staged in _diar[sid]["audio"] awaiting the engine thread.
+        # This duplicate of the engine-queued PCM is billed against the
+        # admission budget too (2 bytes/sample), or a fast-pushing diarize
+        # client could hold ~2x its admitted share with no backpressure.
+        # Loop thread increments (OP_PUSH), decrements on the drained counts
+        # _diarize_step reports back.
+        self._diar_staged: dict[int, int] = {}
 
     # ------------------------------------------------------------------
     async def _send(self, writer: asyncio.StreamWriter, frame: bytes) -> None:
@@ -81,6 +88,7 @@ class StreamServer:
                 self.writers.pop(sid, None)
                 self._diar.pop(sid, None)
                 freed += 2 * self._queued_samples.pop(sid, 0)
+                freed += 2 * self._diar_staged.pop(sid, 0)
             self.conn_streams.pop(writer, None)
             if freed:
                 async with self.mem_free:
@@ -123,6 +131,7 @@ class StreamServer:
                         num_speakers=int(cfg.get("num_speakers", -1))),
                     "audio": deque(),
                 }
+                self._diar_staged[sid] = 0
             self.writers[sid] = writer
             self.conn_streams[writer].add(sid)
             self._queued_samples[sid] = 0
@@ -133,11 +142,15 @@ class StreamServer:
                 return  # stale-session DATA ignored (nemo-server.cpp:233)
             audio = np.frombuffer(payload, dtype="<i2")
             n = len(audio)
-            # admission control: block while over the global budget
+            # admission control: block while over the global budget. A
+            # diarize stream stages a second copy of the PCM for its
+            # pipeline, so it is billed double (released as _diarize_step
+            # drains the stage into the pipeline).
+            bill = 4 * n if stream_id in self._diar else 2 * n
             async with self.mem_free:
-                while self.mem_used + 2 * n > self.mem_budget:
+                while self.mem_used + bill > self.mem_budget:
                     await self.mem_free.wait()
-                self.mem_used += 2 * n
+                self.mem_used += bill
             # bill BEFORE handing to the engine: a tick running concurrently
             # in the executor may consume the samples immediately, and its
             # drain_consumed release is capped at the billed count
@@ -151,6 +164,8 @@ class StreamServer:
             d = self._diar.get(stream_id)
             if d is not None:
                 d["audio"].append(audio)
+                self._diar_staged[stream_id] = (
+                    self._diar_staged.get(stream_id, 0) + n)
             self.wake.set()
             await self._send(
                 writer,
@@ -181,22 +196,35 @@ class StreamServer:
                 writer, P.pack(P.OP_ERROR, stream_id, f"bad opcode {opcode}"))
 
     # ------------------------------------------------------------------
-    def _diarize_step(self, events) -> list[tuple[int, str]]:
+    def _diarize_step(
+            self, events) -> tuple[list[tuple[int, str]], dict[int, int]]:
         """Advance diarization pipelines (ENGINE THREAD ONLY — device calls).
 
         Drains each diarize stream's staged PCM, feeds this tick's text
-        events as words, and returns (stream_id, json_line) frames: word
-        JSONL incrementally, a {"type":"result",...} object on end (emitted
+        events as words, and returns ((stream_id, json_line) frames,
+        per-stream drained sample counts for budget release): word JSONL
+        incrementally, a {"type":"result",...} object on end (emitted
         BEFORE the stream's OP_ENDED by engine_loop's ordering)."""
         frames: list[tuple[int, str]] = []
+        drained: dict[int, int] = {}
         for sid, d in list(self._diar.items()):
             p = d["pipeline"]
             q = d["audio"]
             while q:
-                p.push_audio(q.popleft().astype(np.float32) / 32768.0)
+                a = q.popleft()
+                drained[sid] = drained.get(sid, 0) + len(a)
+                p.push_audio(a.astype(np.float32) / 32768.0)
             for ev in events:
                 if ev.stream_id == sid and ev.text:
-                    p.push_text(ev.text, p.total_samples / 16000.0)
+                    # stamp words at the DECODE position the engine reports,
+                    # not the staged-audio position: a non-realtime client
+                    # pushes its whole file ahead of decode, and
+                    # total_samples would pin every word to the file end
+                    # (wrong speaker attribution). Same clock the CLI uses
+                    # (sess.total_audio_seconds).
+                    at = ev.at_sec if ev.at_sec >= 0.0 \
+                        else p.total_samples / 16000.0
+                    p.push_text(ev.text, at)
             for line in p.drain_json():
                 frames.append((sid, line))
             if any(ev.stream_id == sid and ev.kind == "ended"
@@ -210,8 +238,11 @@ class StreamServer:
                     "rttm": res.rttm,
                     "n_speakers": res.n_speakers,
                 })))
-                del self._diar[sid]
-        return frames
+                # the event-loop disconnect handler pops concurrently — a
+                # plain del here can KeyError, and an engine-thread exception
+                # fail-stops the whole server
+                self._diar.pop(sid, None)
+        return frames, drained
 
     def _engine_thread(self, loop: asyncio.AbstractEventLoop,
                        out_q: asyncio.Queue) -> None:
@@ -228,13 +259,15 @@ class StreamServer:
                 while more and not self._stop:
                     events, more = self.engine.tick()
                     consumed = self.engine.drain_consumed()
-                    diar_frames = (self._diarize_step(events)
-                                   if self._diar else [])
-                    if events or consumed or diar_frames:
+                    diar_frames, diar_drained = (
+                        self._diarize_step(events) if self._diar
+                        else ([], {}))
+                    if events or consumed or diar_frames or diar_drained:
                         try:
                             loop.call_soon_threadsafe(
                                 out_q.put_nowait,
-                                (events, consumed, diar_frames))
+                                (events, consumed, diar_frames,
+                                 diar_drained))
                         except RuntimeError:  # loop closed: shutting down
                             self._stop = True
                             return
@@ -265,7 +298,7 @@ class StreamServer:
                 if item is None:  # engine thread died — shut the server down
                     raise RuntimeError(
                         "engine thread died; shutting the server down")
-                events, consumed, diar_frames = item
+                events, consumed, diar_frames, diar_drained = item
                 # release budget as the engine consumes queued PCM (reference
                 # semantics: nemo-server.cpp:116-126 releases per DATA event,
                 # not on stream end — long-lived streams must not accumulate)
@@ -274,6 +307,12 @@ class StreamServer:
                     have = self._queued_samples.get(sid, 0)
                     take = min(have, n)
                     self._queued_samples[sid] = have - take
+                    freed += 2 * take
+                # ... and as _diarize_step drains the diarize staging copy
+                for sid, n in diar_drained.items():
+                    have = self._diar_staged.get(sid, 0)
+                    take = min(have, n)
+                    self._diar_staged[sid] = have - take
                     freed += 2 * take
                 # batched delivery: buffer every frame first, then one drain
                 # per touched writer (per-event awaits serialized the loop)
@@ -307,6 +346,7 @@ class StreamServer:
                             self.conn_streams.get(w, set()).discard(ev.stream_id)
                         self.writers.pop(ev.stream_id, None)
                         freed += 2 * self._queued_samples.pop(ev.stream_id, 0)
+                        freed += 2 * self._diar_staged.pop(ev.stream_id, 0)
                 for w in touched:
                     try:
                         await w.drain()

@@ -124,6 +124,11 @@ class Event:
     stream_id: int
     kind: str  # "text" | "ended"
     text: str
+    # Decode position of the emitting step, in stream-audio seconds (the end
+    # of the subsampled frame window the text was decoded from) — the same
+    # clock the CLI stamps diarization words with (sess.total_audio_seconds).
+    # -1.0 when unknown (sentinel/failed-step "ended" events with no text).
+    at_sec: float = -1.0
 
 
 def _to_f32(audio: np.ndarray) -> np.ndarray:
@@ -568,6 +573,11 @@ class EngineGroup:
                 continue  # slot dropped/reused since dispatch — discard
             emitted = tok_np[i]  # [T, S]
             mask = emitted >= 0
+            # decode position: end of this step's subsampled-frame window,
+            # in stream seconds (80 ms frames — session.timed_words uses the
+            # same fr * 1280/16000 clock)
+            at = float(frame_base[i] + emitted.shape[0]) \
+                * self.cfg.subsampling_factor * 160.0 / 16000.0
             if mask.any():
                 ids = emitted[mask].tolist()  # row-major: frame-major order
                 frames = (frame_base[i] + np.nonzero(mask)[0]).tolist()
@@ -578,10 +588,10 @@ class EngineGroup:
             else:
                 text = ""
             if i in finalizing:
-                events.append(Event(slot.stream_id, "ended", text))
+                events.append(Event(slot.stream_id, "ended", text, at))
                 self.release(i)
             elif text:
-                events.append(Event(slot.stream_id, "text", text))
+                events.append(Event(slot.stream_id, "text", text, at))
         return events
 
     def tick(self) -> tuple[list[Event], bool]:

@@ -14,8 +14,9 @@ greedy tokens exact):
 Steps:
   1. convert the .nemo to GGUF (scripts/convert_nemo_to_gguf.py), unless
      --gguf points at an existing one
-  2. load it and run batch-vs-stream token parity on every wav in the list
-     (chunked StreamSession must reproduce transcribe_audio token-for-token)
+  2. load it; transcribe every wav offline AND chunked-streaming, asserting
+     the stream transcript is exactly invariant to push granularity (the
+     batch==stream token-equality claim itself is step 3's armed suite)
   3. run the armed real-checkpoint pytest suite with
      NEMOTRON_TPU_MODEL_GGUF set (tests/test_reference_fixtures.py)
   4. compute corpus WER against the reference transcripts
@@ -112,7 +113,19 @@ def main() -> int:
     ap.add_argument("--synthetic", action="store_true",
                     help="rehearse the whole drill on synthesized weights "
                          "(references = own batch output; expect WER 0)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run step 2/4 transcriptions on the default (TPU) "
+                         "device instead of pinning CPU")
     args = ap.parse_args()
+
+    if not args.tpu:
+        # the axon TPU plugin registers via sitecustomize and ignores
+        # JAX_PLATFORMS=cpu (CLAUDE.md) — without this pin the drill's f32
+        # parity transcriptions would silently run bf16 on the tunneled TPU
+        # (and pay minutes of remote compiles per shape)
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     workdir = Path(args.workdir or tempfile.mkdtemp(prefix="wer_drill_"))
     workdir.mkdir(parents=True, exist_ok=True)
@@ -151,25 +164,35 @@ def main() -> int:
         parts = line.split("\t")
         entries.append((parts[0], parts[1] if len(parts) > 1 else None))
 
-    print(f"[2/4] batch-vs-stream token parity on {len(entries)} files")
+    # Step 2 checks what holds for ANY weights: both paths transcribe, and
+    # the chunked session is EXACTLY invariant to the client's push
+    # granularity (the incremental mel buffer/shift math). Batch==stream
+    # token equality is NOT asserted here — it only holds for trained
+    # limited-context weights and is the armed suite's job (step 3).
+    print(f"[2/4] batch + stream transcription, chunking-invariance, on "
+          f"{len(entries)} files")
     hyps = []
     for path, _ in entries:
         pcm = read_audio(path)
-        mel = None
         text_batch = model.transcribe_audio(pcm)
-        sess = StreamSession(model)
-        for off in range(0, len(pcm), 1280):
-            sess.process_incremental(pcm[off:off + 1280])
-        sess.finalize()
-        text_stream = sess.get_transcript()
-        # pure-causal streaming sees no lookahead, so compare the token
-        # STREAM consistency the armed suite enforces at R=13; here assert
-        # both paths produced non-trivial, stable output and record the hyp
+
+        def stream(chunk: int) -> str:
+            sess = StreamSession(model)
+            for off in range(0, len(pcm), chunk):
+                sess.process_incremental(pcm[off:off + chunk])
+            sess.finalize()
+            return sess.get_transcript()
+
+        text_stream = stream(1280)
+        text_stream_b = stream(3200)
         assert text_batch, f"{path}: empty batch transcript"
         assert text_stream, f"{path}: empty streaming transcript"
+        assert text_stream == text_stream_b, (
+            f"{path}: streaming transcript depends on push chunking "
+            f"(80 ms vs 200 ms pushes)")
         hyps.append(text_batch)
         print(f"      {path}: batch={len(text_batch)}ch "
-              f"stream={len(text_stream)}ch ok")
+              f"stream={len(text_stream)}ch chunk-invariant ok")
 
     if args.synthetic:
         # rehearsal references = own batch output -> expected WER 0

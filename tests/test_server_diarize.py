@@ -91,6 +91,14 @@ def test_diarize_stream_gets_word_and_result_frames(diarize_params):
     # every transcript word surfaced as an incremental frame with a timestamp
     assert len(words) == len(want_text.split())
     assert all(w["at"] >= 0 for w in words)
+    # words are stamped at the DECODE position, not the staged-audio
+    # position: this client pushes far ahead of real time, so staging-based
+    # stamps would pin every word near the 3.0 s file end (wrong speaker
+    # attribution); decode-position stamps spread across the stream
+    ats = [w["at"] for w in words]
+    assert ats == sorted(ats)
+    assert ats[0] < 1.5, f"first word stamped at file end: {ats}"
+    assert all(a <= 3.5 for a in ats)
 
 
 def test_plain_and_diarize_streams_multiplex(diarize_params):
