@@ -102,7 +102,9 @@ class DiarizePipeline:
         self.total_samples = 0
 
         self.vad_next_frame = 0
-        self.vad_probs: list[float] = []
+        # frames scored so far (a long-lived server stream scores one frame
+        # per 10 ms forever — keep a counter, not an unbounded list)
+        self.n_vad_frames = 0
 
         self.in_speech = False
         self.n_off_run = 0
@@ -221,7 +223,7 @@ class DiarizePipeline:
             probs = self._batched_vad(n_ready)
 
             for prob in probs:
-                self.vad_probs.append(float(prob))
+                self.n_vad_frames += 1
                 f = self.vad_next_frame
                 if not self.in_speech:
                     if prob >= self.vad_post.onset:
@@ -282,9 +284,9 @@ class DiarizePipeline:
             return 0
         self.audio_buf = np.concatenate([self.audio_buf, audio])
         self.total_samples += len(audio)
-        before = len(self.vad_probs)
+        before = self.n_vad_frames
         self._advance()
-        return len(self.vad_probs) - before
+        return self.n_vad_frames - before
 
     def push_text(self, text: str, at_sec: float) -> None:
         for c in text:

@@ -81,30 +81,38 @@ async def transcribe_file(audio_i16: np.ndarray, host=None, port=None,
 
     texts: list[str] = []
     done = asyncio.Event()
+    reader_err: list[BaseException] = []
 
     async def reader():
-        while True:
-            opcode, rsid, payload = await client.recv()
-            if rsid != sid:
-                continue
-            if opcode == P.OP_TEXT:
-                t = payload.decode("utf-8", errors="replace")
-                texts.append(t)
-                if on_text:
-                    on_text(t)
-            elif opcode == P.OP_DIARIZE:
-                if on_diarize:
-                    on_diarize(payload.decode("utf-8", errors="replace"))
-            elif opcode == P.OP_ENDED:
-                t = payload.decode("utf-8", errors="replace")
-                if t:
+        # Failures must WAKE the waiter, not die silently in the task:
+        # a server crash (IncompleteReadError) or an OP_ERROR frame would
+        # otherwise leave `await done.wait()` hanging forever.
+        try:
+            while True:
+                opcode, rsid, payload = await client.recv()
+                if rsid != sid:
+                    continue
+                if opcode == P.OP_TEXT:
+                    t = payload.decode("utf-8", errors="replace")
                     texts.append(t)
                     if on_text:
                         on_text(t)
-                done.set()
-                return
-            elif opcode == P.OP_ERROR:
-                raise RuntimeError(payload.decode())
+                elif opcode == P.OP_DIARIZE:
+                    if on_diarize:
+                        on_diarize(payload.decode("utf-8", errors="replace"))
+                elif opcode == P.OP_ENDED:
+                    t = payload.decode("utf-8", errors="replace")
+                    if t:
+                        texts.append(t)
+                        if on_text:
+                            on_text(t)
+                    return
+                elif opcode == P.OP_ERROR:
+                    raise RuntimeError(payload.decode())
+        except BaseException as e:
+            reader_err.append(e)
+        finally:
+            done.set()
 
     rtask = asyncio.create_task(reader())
     t0 = time.time()
@@ -119,6 +127,8 @@ async def transcribe_file(audio_i16: np.ndarray, host=None, port=None,
     await done.wait()
     rtask.cancel()
     client.close()
+    if reader_err:
+        raise reader_err[0]
     return "".join(texts)
 
 

@@ -172,7 +172,16 @@ class RoutedClient:
                     self.live[rep] = max(0, self.live[rep] - 1)
         except (asyncio.IncompleteReadError, ConnectionError,
                 asyncio.CancelledError):
-            return
+            pass
+        finally:
+            # the replica connection is gone: wake every waiter parked on
+            # one of its queues (transcribe()'s consume, start_stream's
+            # started.get) instead of leaving them hanging forever
+            for handle, q in list(self._queues.items()):
+                if handle >> self._REP_SHIFT == rep:
+                    q.put_nowait((None, b""))
+            self._started[rep].put_nowait(
+                (P.OP_ERROR, b"replica connection lost"))
 
     def _pick(self) -> int:
         lo = min(self.live)
@@ -218,6 +227,8 @@ class RoutedClient:
         async def consume():
             while True:
                 opcode, payload = await q.get()
+                if opcode is None:  # demux sentinel: replica died
+                    raise ConnectionError("replica connection lost")
                 if opcode == P.OP_TEXT:
                     texts.append(payload.decode("utf-8", errors="replace"))
                 elif opcode == P.OP_ENDED:

@@ -25,7 +25,7 @@ import threading
 
 import numpy as np
 
-from ..streaming.engine import BatchedEngine
+from ..streaming.engine import DEVICE_LOCK, BatchedEngine
 from . import protocol as P
 
 
@@ -112,9 +112,23 @@ class StreamServer:
                     "diarization not enabled (start the server with "
                     "--diarize <diarize.gguf>)"))
                 return
+            # client-controlled: restrict to the supported latency presets.
+            # An arbitrary int would allocate a whole new batch-sized device
+            # state + minutes of remote compiles per distinct value (and
+            # right_context<=-1 gives shift 0: an engine busy-spin).
+            try:
+                rc = int(cfg.get("right_context", 0))
+            except (TypeError, ValueError):
+                rc = -1
+            if rc not in (0, 1, 6, 13):
+                await self._send(writer, P.pack(
+                    P.OP_ERROR, 0,
+                    f"right_context must be one of 0, 1, 6, 13 (got "
+                    f"{cfg.get('right_context')!r})"))
+                return
             try:
                 sid = self.engine.start_stream(
-                    right_context=int(cfg.get("right_context", 0)),
+                    right_context=rc,
                     lang=cfg.get("lang"),
                 )
             except RuntimeError as e:
@@ -138,8 +152,12 @@ class StreamServer:
             await self._send(writer, P.pack_json(P.OP_STARTED, sid, {"id": sid}))
 
         elif opcode == P.OP_PUSH:
-            if stream_id not in self.writers:
-                return  # stale-session DATA ignored (nemo-server.cpp:233)
+            if stream_id not in self.conn_streams.get(writer, ()):
+                # stale-session DATA ignored (nemo-server.cpp:233) — and
+                # stream ids are small sequential ints, so DATA for a stream
+                # this connection does NOT own must never feed another
+                # client's transcript
+                return
             audio = np.frombuffer(payload, dtype="<i2")
             n = len(audio)
             # admission control: block while over the global budget. A
@@ -174,13 +192,26 @@ class StreamServer:
             )
 
         elif opcode == P.OP_STREAM_END:
-            if stream_id in self.writers:
+            if stream_id in self.conn_streams.get(writer, ()):
                 self.engine.end_stream(stream_id)
                 self.wake.set()
 
         elif opcode == P.OP_SET_LANG:
+            if stream_id not in self.conn_streams.get(writer, ()):
+                await self._send(
+                    writer, P.pack(P.OP_ERROR, stream_id,
+                                   f"unknown stream {stream_id}"))
+                return
             lang = payload.decode("utf-8", errors="replace")
-            idx = self.engine.set_language(stream_id, lang)
+            try:
+                idx = self.engine.set_language(stream_id, lang)
+            except KeyError:
+                # the engine thread pops a stream as its 'ended' event is
+                # emitted; this connection's OP_ENDED may still be in flight
+                await self._send(
+                    writer, P.pack(P.OP_ERROR, stream_id,
+                                   f"stream {stream_id} already ended"))
+                return
             if idx is None:
                 await self._send(
                     writer, P.pack(P.OP_ERROR, stream_id,
@@ -213,7 +244,12 @@ class StreamServer:
             while q:
                 a = q.popleft()
                 drained[sid] = drained.get(sid, 0) + len(a)
-                p.push_audio(a.astype(np.float32) / 32768.0)
+                with DEVICE_LOCK:
+                    # VAD/TitaNet dispatch+fetch: the event-loop thread can
+                    # concurrently create a new EngineGroup (a device call
+                    # under DEVICE_LOCK) — unlocked concurrent axon calls
+                    # hang both threads forever (CLAUDE.md)
+                    p.push_audio(a.astype(np.float32) / 32768.0)
             for ev in events:
                 if ev.stream_id == sid and ev.text:
                     # stamp words at the DECODE position the engine reports,
@@ -229,7 +265,8 @@ class StreamServer:
                 frames.append((sid, line))
             if any(ev.stream_id == sid and ev.kind == "ended"
                    for ev in events):
-                res = p.finalize()
+                with DEVICE_LOCK:  # finalize embeds + clusters on device
+                    res = p.finalize()
                 for line in p.drain_json():  # finalize flushes the last word
                     frames.append((sid, line))
                 frames.append((sid, json.dumps({

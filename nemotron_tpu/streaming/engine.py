@@ -219,6 +219,13 @@ class EngineGroup:
         # cross-thread mutation queue (see module docstring)
         self._lock = threading.Lock()
         self._pending_resets: list[int] = []
+        # disconnect releases queued from the event-loop thread; applied at
+        # the top of the next tick. tick() re-indexes self.slots throughout
+        # staging/dispatch, so a release landing mid-tick from another
+        # thread would None out a slot under its feet (AttributeError ->
+        # engine fail-stop). Finalize releases stay direct — they run on the
+        # tick thread itself (_process_pending).
+        self._pending_drops: list[tuple[int, int]] = []
         # samples moved from the push queue into the stage, per stream —
         # the admission-budget release signal (reference releases as the
         # worker consumes PCM, nemo-server.cpp:116-126)
@@ -362,6 +369,23 @@ class EngineGroup:
             if self.slots[idx] is not None:
                 self.slots[idx] = None
                 self.n_active_streams -= 1
+
+    def drop(self, idx: int, stream_id: int) -> None:
+        """Queue a disconnect release (event-loop thread); the tick thread
+        applies it at the top of its next tick (see _pending_drops)."""
+        with self._lock:
+            self._pending_drops.append((idx, stream_id))
+
+    def _apply_pending_drops(self) -> None:
+        with self._lock:
+            if not self._pending_drops:
+                return
+            drops, self._pending_drops = self._pending_drops, []
+            for idx, sid in drops:
+                s = self.slots[idx]
+                if s is not None and s.stream_id == sid:
+                    self.slots[idx] = None
+                    self.n_active_streams -= 1
 
     def find(self, stream_id: int) -> int | None:
         for i, s in enumerate(self.slots):
@@ -573,10 +597,14 @@ class EngineGroup:
                 continue  # slot dropped/reused since dispatch — discard
             emitted = tok_np[i]  # [T, S]
             mask = emitted >= 0
-            # decode position: end of this step's subsampled-frame window,
-            # in stream seconds (80 ms frames — session.timed_words uses the
-            # same fr * 1280/16000 clock)
-            at = float(frame_base[i] + emitted.shape[0]) \
+            # decode position: end of this step's VALID subsampled-frame
+            # window, in stream seconds (80 ms frames — session.timed_words
+            # uses the same fr * 1280/16000 clock). n_valid, not the token
+            # buffer width: a finalize row decodes only its nv leftover
+            # frames, and the buffer width would overstate the position past
+            # the end of the audio (diarize would stamp closing words into
+            # no-speaker territory).
+            at = float(frame_base[i] + n_valid[i]) \
                 * self.cfg.subsampling_factor * 160.0 / 16000.0
             if mask.any():
                 ids = emitted[mask].tolist()  # row-major: frame-major order
@@ -604,6 +632,7 @@ class EngineGroup:
         self.total_ticks += 1
         events: list[Event] = []
 
+        self._apply_pending_drops()
         self._apply_pending_resets()
         if self.source is None:
             self._drain_queues()
@@ -889,30 +918,40 @@ class BatchedEngine:
         return stream_id
 
     def set_language(self, stream_id: int, lang: str) -> int | None:
+        """Returns the prompt index, None for an unknown language. Raises
+        KeyError for an unknown/just-ended stream (the engine thread pops
+        _route when it emits 'ended' — callers must expect the window)."""
         idx = self.model.resolve_language(lang)
         if idx is None:
             return None
         rc, slot = self._route[stream_id]
-        self.groups[rc].slots[slot].prompt_index = idx
+        s = self.groups[rc].slots[slot]
+        if s is None or s.stream_id != stream_id:
+            raise KeyError(stream_id)
+        s.prompt_index = idx
         return idx
 
     def push_audio(self, stream_id: int, audio_i16: np.ndarray) -> None:
-        rc, slot = self._route[stream_id]
+        route = self._route.get(stream_id)
+        if route is None:
+            return  # ended/dropped concurrently — stale DATA ignored
+        rc, slot = route
         self.groups[rc].push_audio(slot, audio_i16)
 
     def end_stream(self, stream_id: int) -> None:
-        rc, slot = self._route[stream_id]
+        route = self._route.get(stream_id)
+        if route is None:
+            return  # already ended/dropped
+        rc, slot = route
         self.groups[rc].end_stream(slot)
 
     def drop_stream(self, stream_id: int) -> None:
-        """Disconnect without finalize (reader CLOSE path)."""
+        """Disconnect without finalize (reader CLOSE path). The release is
+        queued to the tick thread — see EngineGroup.drop."""
         route = self._route.pop(stream_id, None)
         if route:
             rc, slot = route
-            group = self.groups[rc]
-            s = group.slots[slot]
-            if s is not None and s.stream_id == stream_id:
-                group.release(slot)
+            self.groups[rc].drop(slot, stream_id)
 
     def drain_consumed(self) -> dict[int, int]:
         """Per-stream samples consumed since the last drain (budget release)."""

@@ -119,7 +119,11 @@ def test_engine_drop_stream_frees_slot():
     engine.push_audio(sid, make_audio(3200, seed=12))
     engine.tick()
     engine.drop_stream(sid)
-    # slot free again
+    # the release is applied by the TICK thread (drop_stream may be called
+    # from the event loop while a tick is staging self.slots — an immediate
+    # release would None a slot under the tick's feet); one tick later the
+    # slot is free again
+    engine.tick()
     sid2 = engine.start_stream(0)
     assert sid2 != sid
 
@@ -207,6 +211,7 @@ def test_engine_slot_reuse_discards_inflight_tokens():
     engine.tick()  # dispatch mel
     engine.tick()  # dispatch step; tokens now in flight
     engine.drop_stream(sid_a)
+    engine.tick()  # applies the queued release (tick thread owns slots)
     sid_b = engine.start_stream(0)
     ev, _ = engine.tick()  # reads back A's tokens -> must be discarded
     assert all(e.stream_id != sid_b for e in ev)

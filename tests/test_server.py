@@ -192,6 +192,63 @@ def test_server_ack_and_error_frames(model):
     asyncio.run(asyncio.wait_for(run(), timeout=60))
 
 
+def test_server_stream_ownership_and_config_validation(model):
+    """A connection can only act on ITS OWN streams (ids are small
+    sequential ints — a stray/malicious END, PUSH or SET_LANG aimed at
+    another client's sid must be ignored/refused), and a client-supplied
+    right_context outside the supported presets is a protocol error, not a
+    fresh device-state allocation."""
+    audio = make_audio(9600, seed=1)
+
+    sess = StreamSession(model, 0)
+    sess.process_incremental(audio)
+    sess.finalize()
+    want = sess.get_transcript()
+
+    async def run():
+        srv, server, port = await start_test_server(model)
+        try:
+            a = await StreamClient.connect("127.0.0.1", port)
+            sid = await a.start_stream(0)
+
+            b = await StreamClient.connect("127.0.0.1", port)
+            # bad right_context values -> OP_ERROR, no stream started
+            for bad in (-1, 7, "x"):
+                await b.send(P.OP_STREAM_START, 0,
+                             json.dumps({"right_context": bad}))
+                opcode, _, payload = await b.recv()
+                assert opcode == P.OP_ERROR, (bad, payload)
+                assert b"right_context" in payload
+            # cross-connection attacks on A's stream: silently ignored END
+            # and PUSH, explicit error for SET_LANG
+            await b.send(P.OP_STREAM_END, sid)
+            await b.send(P.OP_PUSH, sid, make_audio(1600, seed=9).tobytes())
+            await b.send(P.OP_SET_LANG, sid, "en-US")
+            opcode, rsid, payload = await b.recv()
+            assert opcode == P.OP_ERROR and rsid == sid
+            assert b"unknown stream" in payload
+            b.close()
+
+            # A's stream is unperturbed: same transcript as a session
+            texts = []
+            await a.push(sid, audio)
+            await a.send(P.OP_STREAM_END, sid)
+            while True:
+                opcode, rsid, payload = await a.recv()
+                if opcode == P.OP_TEXT:
+                    texts.append(payload.decode())
+                elif opcode == P.OP_ENDED:
+                    texts.append(payload.decode())
+                    break
+            a.close()
+            return "".join(texts)
+        finally:
+            server.close()
+
+    got = asyncio.run(asyncio.wait_for(run(), timeout=120))
+    assert got == want
+
+
 @pytest.mark.filterwarnings(
     "ignore::pytest.PytestUnhandledThreadExceptionWarning")
 def test_server_engine_failure_fail_stop(model):
