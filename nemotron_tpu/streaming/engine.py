@@ -82,7 +82,8 @@ GATED_REALIGN = os.environ.get("NEMOTRON_TPU_GATED_REALIGN", "1") == "1"
 DEVICE_LOCK = threading.RLock()
 
 from ..config import CacheConfig
-from ..streaming.state import PP_TAIL_LEN, reset_slots
+from ..streaming.state import (PP_TAIL_LEN, extract_slot, install_slot,
+                               reset_slots)
 
 # Samples folded into the frontend carry at stream start: the carry becomes
 # [256 center-pad zeros || preemph(first 96 samples)], after which every
@@ -226,6 +227,13 @@ class EngineGroup:
         # engine fail-stop). Finalize releases stay direct — they run on the
         # tick thread itself (_process_pending).
         self._pending_drops: list[tuple[int, int]] = []
+        # live-stream migration requests (event-loop thread -> tick thread):
+        # exports are (stream_id, Future[snapshot dict]); imports are
+        # (snapshot, new stream_id, Future[slot idx]). Fulfilled at the top
+        # of the next tick, which owns all device mutations.
+        self._pending_exports: list[tuple[int, concurrent.futures.Future]] = []
+        self._pending_imports: list[
+            tuple[dict, int, concurrent.futures.Future]] = []
         # samples moved from the push queue into the stage, per stream —
         # the admission-budget release signal (reference releases as the
         # worker consumes PCM, nemo-server.cpp:116-126)
@@ -392,6 +400,146 @@ class EngineGroup:
             if s is not None and s.stream_id == stream_id:
                 return i
         return None
+
+    # --- live-stream migration (beyond reference: SURVEY §5.4 notes the ---
+    # --- reference never serializes a live stream — a drop loses context) --
+    def queue_export(self, stream_id: int) -> concurrent.futures.Future:
+        fut: concurrent.futures.Future = concurrent.futures.Future()
+        with self._lock:
+            self._pending_exports.append((stream_id, fut))
+        return fut
+
+    def queue_import(self, snapshot: dict,
+                     stream_id: int) -> concurrent.futures.Future:
+        fut: concurrent.futures.Future = concurrent.futures.Future()
+        with self._lock:
+            self._pending_imports.append((snapshot, stream_id, fut))
+        return fut
+
+    def _apply_pending_migrations(self) -> list[Event]:
+        """Fulfil queued export/import requests (tick thread).
+
+        Exports first drain every in-flight readback so the slot's token
+        accounting is complete and no dispatched program still references the
+        exported stream; the drained text events are returned to the tick."""
+        with self._lock:
+            if not (self._pending_exports or self._pending_imports):
+                return []
+            exports, self._pending_exports = self._pending_exports, []
+            imports, self._pending_imports = self._pending_imports, []
+        if self.source is not None:
+            # the native ingest stages PCM in C++ connection rings with no
+            # injection API — a migrated tail would have nowhere to go.
+            # Clients of a native server migrate by reconnect + replay.
+            err = NotImplementedError(
+                "live-stream migration is not supported on native-ingest "
+                "engines")
+            for _sid, fut in exports:
+                fut.set_exception(err)
+            for _snap, _sid, fut in imports:
+                fut.set_exception(err)
+            return []
+        events: list[Event] = []
+        if exports:
+            events.extend(self._drain_pending(force_all=True))
+            self._drain_queues()
+        for sid, fut in exports:
+            try:
+                fut.set_result(self._export_slot(sid))
+            except Exception as e:  # noqa: BLE001 — surfaced via the Future
+                fut.set_exception(e)
+        for snap, sid, fut in imports:
+            try:
+                fut.set_result(self._import_slot(snap, sid))
+            except Exception as e:  # noqa: BLE001
+                fut.set_exception(e)
+        return events
+
+    def _export_slot(self, stream_id: int) -> dict:
+        """Snapshot one live slot (device state + host bookkeeping + staged
+        audio tail) and release it. The caller must have stopped pushing
+        audio for this stream — a push racing the export may be lost."""
+        idx = self.find(stream_id)
+        slot = self.slots[idx] if idx is not None else None
+        if slot is None:
+            raise KeyError(stream_id)
+        if slot.finalize_sent:
+            raise RuntimeError(
+                f"stream {stream_id} is finalizing; too late to export")
+        from ..ops.kvquant import is_quant
+
+        stage = (np.concatenate(slot.stage).astype(np.int16)
+                 if slot.stage else np.zeros(0, np.int16))
+        with DEVICE_LOCK:
+            snap_state = extract_slot(self.state, idx)
+        snap = {
+            "version": 1,
+            "right_context": int(self.cfg.att_right_context),
+            "n_phases": int(self.cfg.n_phases),
+            "kv_int8": bool(is_quant(snap_state.k_cache)),
+            "phase": int(self.slot_phase[idx]),
+            "frame_offset": int(self.frame_offsets[idx]),
+            "state": snap_state,
+            "stage": stage,
+            "tokens": list(slot.tokens),
+            "token_frames": list(slot.token_frames),
+            "transcript": slot.transcript,
+            "prompt_index": int(slot.prompt_index),
+            "total_pushed": int(slot.total_pushed),
+            "steps": int(slot.steps),
+            "primed": bool(slot.primed),
+            "ending": bool(slot.ending),
+        }
+        self.release(idx)
+        return snap
+
+    def _import_slot(self, snap: dict, stream_id: int) -> int:
+        """Install a snapshot into a free slot; returns the slot index.
+
+        The slot's K/V window is realigned from the snapshot's slack-buffer
+        phase to this group's current phase at install time (the same
+        realign-on-resume op paused slots use), so engines at different
+        points of their compaction cycle interoperate."""
+        from ..ops.kvquant import is_quant
+
+        if snap.get("version") != 1:
+            raise ValueError(f"unknown snapshot version {snap.get('version')}")
+        if int(snap["right_context"]) != int(self.cfg.att_right_context):
+            raise ValueError("snapshot latency mode differs from this group")
+        if int(snap["n_phases"]) != int(self.cfg.n_phases):
+            raise ValueError("snapshot n_phases differs from this group")
+        if bool(snap["kv_int8"]) != bool(is_quant(self.state.k_cache)):
+            raise ValueError("snapshot kv-int8 mode differs from this group")
+        with self._lock:
+            idx = next((i for i, s in enumerate(self.slots) if s is None),
+                       None)
+            if idx is None:
+                raise RuntimeError("no free stream slots")
+            slot = _Slot(stream_id, int(snap["prompt_index"]))
+            self.slots[idx] = slot
+            self.n_active_streams += 1
+        with DEVICE_LOCK:
+            self.state = install_slot(self.state, idx, snap["state"])
+            delta = self.phase - int(snap["phase"])
+            if delta:
+                m = np.zeros(self.batch, dtype=bool)
+                m[idx] = True
+                self.state = self.model.realign_state(self.cfg, self.state,
+                                                      delta, m)
+        self.slot_phase[idx] = self.phase
+        self.frame_offsets[idx] = int(snap["frame_offset"])
+        slot.tokens = list(snap["tokens"])
+        slot.token_frames = list(snap["token_frames"])
+        slot.transcript = snap["transcript"]
+        slot.total_pushed = int(snap["total_pushed"])
+        slot.steps = int(snap["steps"])
+        slot.primed = bool(snap["primed"])
+        slot.ending = bool(snap["ending"])
+        st = np.asarray(snap["stage"], np.int16)
+        if st.size:
+            slot.stage.append(st)
+            slot.staged = int(st.size)
+        return idx
 
     # ------------------------------------------------------------------
     def push_audio(self, idx: int, audio: np.ndarray) -> None:
@@ -634,6 +782,7 @@ class EngineGroup:
 
         self._apply_pending_drops()
         self._apply_pending_resets()
+        events.extend(self._apply_pending_migrations())
         if self.source is None:
             self._drain_queues()
         else:
@@ -853,8 +1002,12 @@ class EngineGroup:
             # unfetched tails drain on idle ticks (force_all) — keep ticking
             # while anything is pending
             pending_more = bool(self._pending_q)
+        with self._lock:
+            migrations_queued = bool(self._pending_exports
+                                     or self._pending_imports)
         more = (
             pending_more
+            or migrations_queued
             or any(
                 s is not None and not s.finalize_sent
                 and ((s.primed and s.staged >= shift) or s.audio_queue
@@ -961,6 +1114,63 @@ class BatchedEngine:
                 out[sid] = out.get(sid, 0) + n
         return out
 
+    # --- live-stream migration -----------------------------------------
+    def request_export(self, stream_id: int) -> concurrent.futures.Future:
+        """Queue a live-stream export. The returned Future resolves (on the
+        tick thread, at the top of its next tick) to a portable snapshot
+        dict: device caches + decoder state + staged audio tail + transcript
+        bookkeeping. The stream leaves this engine on success. The caller
+        must stop pushing audio for the stream before exporting.
+
+        Beyond reference: the reference cannot serialize a live stream
+        (SURVEY §5.4) — a server drain/restart there loses every in-flight
+        transcript context. Use snapshot_to_bytes / snapshot_from_bytes to
+        carry the snapshot across processes."""
+        route = self._route.get(stream_id)
+        if route is None:
+            raise KeyError(stream_id)
+        rc, _slot = route
+        fut = self.groups[rc].queue_export(stream_id)
+
+        def _done(f: concurrent.futures.Future) -> None:
+            if not f.cancelled() and f.exception() is None:
+                self._route.pop(stream_id, None)
+
+        fut.add_done_callback(_done)
+        return fut
+
+    def request_import(self, snapshot: dict) -> concurrent.futures.Future:
+        """Queue a snapshot for adoption. The returned Future resolves to the
+        NEW stream id once the tick thread has installed the slot (the K/V
+        window is realigned to this engine's slack-buffer phase, so the two
+        engines need not be at the same point of their compaction cycle)."""
+        rc = int(snapshot["right_context"])
+        group = self.groups.get(rc)
+        if group is None:
+            with self._groups_lock:
+                group = self.groups.get(rc)
+                if group is None:
+                    group = EngineGroup(
+                        self.model, self.model.cache_config(rc), self.batch,
+                        source=self.source)
+                    self.groups[rc] = group
+        stream_id = next(self._ids)
+        slot_fut = group.queue_import(snapshot, stream_id)
+        out: concurrent.futures.Future = concurrent.futures.Future()
+
+        def _done(f: concurrent.futures.Future) -> None:
+            e = f.exception() if not f.cancelled() else None
+            if f.cancelled():
+                out.cancel()
+            elif e is not None:
+                out.set_exception(e)
+            else:
+                self._route[stream_id] = (rc, f.result())
+                out.set_result(stream_id)
+
+        slot_fut.add_done_callback(_done)
+        return out
+
     def transcript(self, stream_id: int) -> str:
         rc, slot = self._route[stream_id]
         s = self.groups[rc].slots[slot]
@@ -1008,3 +1218,56 @@ class BatchedEngine:
             if e.kind == "ended":
                 self._route.pop(e.stream_id, None)
         return events, more
+
+
+def snapshot_to_bytes(snap: dict) -> bytes:
+    """Serialize a live-stream snapshot (from BatchedEngine.request_export)
+    for cross-process migration. Inverse: snapshot_from_bytes."""
+    import io
+    import json
+
+    leaves = jax.tree.leaves(snap["state"])
+    meta = {k: v for k, v in snap.items()
+            if k not in ("state", "stage", "tokens", "token_frames")}
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        meta=np.frombuffer(json.dumps(meta).encode("utf-8"), np.uint8),
+        stage=np.asarray(snap["stage"], np.int16),
+        tokens=np.asarray(snap["tokens"], np.int64),
+        token_frames=np.asarray(snap["token_frames"], np.int64),
+        n_leaves=len(leaves),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+    )
+    return buf.getvalue()
+
+
+def snapshot_from_bytes(data: bytes, model) -> dict:
+    """Rebuild a snapshot dict from bytes. `model` supplies the cache config
+    and state pytree structure; the process-level kv-int8 mode must match the
+    exporting process (checked — the cache treedef depends on it)."""
+    import io
+    import json
+
+    from ..ops.kvquant import kv_int8_enabled
+    from ..streaming.state import init_stream_state
+
+    z = np.load(io.BytesIO(data))
+    meta = json.loads(bytes(z["meta"]).decode("utf-8"))
+    if bool(meta["kv_int8"]) != kv_int8_enabled():
+        raise ValueError(
+            "snapshot kv-int8 mode differs from this process "
+            "(set NEMOTRON_TPU_KV_INT8 to match the exporter)")
+    cfg = model.cache_config(int(meta["right_context"]))
+    template = init_stream_state(1, model.hp, cfg,
+                                 dtype=model.params.pos_emb.dtype)
+    treedef = jax.tree.structure(template)
+    n = int(z["n_leaves"])
+    state = jax.tree.unflatten(treedef,
+                               [z[f"leaf_{i}"] for i in range(n)])
+    snap = dict(meta)
+    snap["state"] = state
+    snap["stage"] = z["stage"]
+    snap["tokens"] = [int(t) for t in z["tokens"]]
+    snap["token_frames"] = [int(t) for t in z["token_frames"]]
+    return snap

@@ -102,6 +102,62 @@ def reset_slots(state: StreamState, mask, hp: Hparams) -> StreamState:
     )
 
 
+def extract_slot(state: StreamState, idx: int) -> StreamState:
+    """Slot `idx` of a batched state as a host-side batch-1 StreamState.
+
+    Basis of live-stream export (engine migration / checkpoint): the caches
+    carry the batch at axis 1 ([L, B, ...]), everything else at axis 0.
+    Leaves come back as numpy (QuantKV sub-leaves included), ready to
+    serialize or to `install_slot` into another engine's batch."""
+    import numpy as np
+
+    def g0(x):
+        return jax.tree.map(lambda a: np.asarray(a[idx : idx + 1]), x)
+
+    def g1(x):
+        return jax.tree.map(lambda a: np.asarray(a[:, idx : idx + 1]), x)
+
+    return StreamState(
+        k_cache=g1(state.k_cache),
+        v_cache=g1(state.v_cache),
+        conv_cache=g1(state.conv_cache),
+        cache_valid=g0(state.cache_valid),
+        decode=g0(state.decode),
+        pp_tail=g0(state.pp_tail),
+        pp_last=g0(state.pp_last),
+        mel_ov=g0(state.mel_ov),
+    )
+
+
+def install_slot(state: StreamState, idx: int, snap: StreamState) -> StreamState:
+    """Write a batch-1 snapshot (from extract_slot) into slot `idx`.
+
+    Shapes (hence Hparams/CacheConfig/kv-int8 mode) must match the target
+    batch; migration between differing configs is a caller error."""
+
+    def s0(x, n):
+        return jax.tree.map(
+            lambda a, b: a.at[idx : idx + 1].set(jnp.asarray(b, a.dtype)), x, n
+        )
+
+    def s1(x, n):
+        return jax.tree.map(
+            lambda a, b: a.at[:, idx : idx + 1].set(jnp.asarray(b, a.dtype)),
+            x, n,
+        )
+
+    return StreamState(
+        k_cache=s1(state.k_cache, snap.k_cache),
+        v_cache=s1(state.v_cache, snap.v_cache),
+        conv_cache=s1(state.conv_cache, snap.conv_cache),
+        cache_valid=s0(state.cache_valid, snap.cache_valid),
+        decode=s0(state.decode, snap.decode),
+        pp_tail=s0(state.pp_tail, snap.pp_tail),
+        pp_last=s0(state.pp_last, snap.pp_last),
+        mel_ov=s0(state.mel_ov, snap.mel_ov),
+    )
+
+
 def prime_frontend(state: StreamState, mask, tails, lasts) -> StreamState:
     """Install per-slot frontend carries (slot join: tail = 256 center-pad
     zeros + the stream's first 96 pre-emphasized samples, so every subsequent

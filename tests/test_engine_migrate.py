@@ -1,0 +1,228 @@
+"""Live-stream migration: export an in-flight stream from one engine and
+resume it on another, asserting transcript identity with an uninterrupted
+single-stream session.
+
+Beyond reference (SURVEY §5.4): the reference never serializes live streaming
+state — a server drain/restart there loses every in-flight context. Here the
+snapshot carries the device state (K/V + conv caches, decoder state, fused-
+frontend carries), the staged-audio tail, and the transcript bookkeeping; the
+importing engine realigns the K/V window from the exporter's slack-buffer
+phase to its own, so the engines need not be at the same compaction point."""
+
+import numpy as np
+import pytest
+
+from helpers import tiny_model
+
+from nemotron_tpu.api import ASRModel
+from nemotron_tpu.streaming.engine import (BatchedEngine, snapshot_from_bytes,
+                                           snapshot_to_bytes)
+from nemotron_tpu.streaming.session import StreamSession
+
+
+def make_audio(n, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    f = 200 + 50 * (seed % 5)
+    sig = 0.4 * np.sin(2 * np.pi * f * t) + 0.2 * rng.standard_normal(n)
+    return (np.clip(sig, -1, 1) * 32767).astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def model():
+    hp, params = tiny_model(seed=0)
+    vocab = [("▁w%d" % i) if i % 2 == 0 else ("p%d" % i)
+             for i in range(hp.vocab_size - 1)]
+    return ASRModel(hp, params, vocab)
+
+
+def solo_transcript(model, audio):
+    s = StreamSession(model, 0)
+    s.process_incremental(audio)
+    s.finalize()
+    return s.get_transcript()
+
+
+def run_to_end(engine, texts, max_ticks=100):
+    ended = set()
+    for _ in range(max_ticks):
+        events, more = engine.tick()
+        for e in events:
+            texts[e.stream_id] = texts.get(e.stream_id, "") + e.text
+            if e.kind == "ended":
+                ended.add(e.stream_id)
+        if not more:
+            break
+    return ended
+
+
+def test_stream_migrates_mid_flight(model):
+    audio = make_audio(12800, seed=3)
+    want = solo_transcript(model, audio)
+
+    engine_a = BatchedEngine(model, batch_per_group=2)
+    engine_b = BatchedEngine(model, batch_per_group=2)
+    # per-engine text accumulators: stream ids are engine-local counters, so
+    # A's exported stream and B's decoy can share the same numeric id
+
+    # engine B hosts a decoy stream and advances a different number of chunks,
+    # so its slack-buffer phase differs from A's at import (realign must run)
+    decoy_audio = make_audio(6400, seed=9)
+    decoy = engine_b.start_stream(0)
+    texts_b = {decoy: ""}
+    for off in range(0, 3200, 1600):
+        engine_b.push_audio(decoy, decoy_audio[off : off + 1600])
+        ev, _ = engine_b.tick()
+        for e in ev:
+            texts_b[e.stream_id] += e.text
+
+    sid = engine_a.start_stream(0)
+    texts_a = {sid: ""}
+    for off in range(0, 6400, 1600):
+        engine_a.push_audio(sid, audio[off : off + 1600])
+        ev, _ = engine_a.tick()
+        for e in ev:
+            texts_a[e.stream_id] += e.text
+
+    fut = engine_a.request_export(sid)
+    ev, _ = engine_a.tick()
+    for e in ev:  # the export tick drains in-flight readbacks into events
+        texts_a[e.stream_id] += e.text
+    snap = fut.result(timeout=10)
+    # the snapshot's transcript must equal everything A emitted for the stream
+    assert snap["transcript"] == texts_a[sid]
+    # the stream is gone from A: further API calls must fail/ignore
+    with pytest.raises(KeyError):
+        engine_a.request_export(sid)
+
+    # cross-process form + phase mismatch must actually be exercised
+    snap2 = snapshot_from_bytes(snapshot_to_bytes(snap), model)
+    assert int(snap2["phase"]) != engine_b.groups[0].phase
+
+    fut2 = engine_b.request_import(snap2)
+    ev, _ = engine_b.tick()
+    for e in ev:
+        texts_b[e.stream_id] += e.text
+    sid2 = fut2.result(timeout=10)
+    texts_b[sid2] = texts_a.pop(sid) + texts_b.get(sid2, "")
+
+    for off in range(6400, 12800, 1600):
+        engine_b.push_audio(sid2, audio[off : off + 1600])
+        ev, _ = engine_b.tick()
+        for e in ev:
+            texts_b[e.stream_id] += e.text
+    engine_b.end_stream(sid2)
+    engine_b.end_stream(decoy)
+    ended = run_to_end(engine_b, texts_b)
+    assert sid2 in ended and decoy in ended
+
+    assert texts_b[sid2] == want
+    # the decoy stream must be unaffected by the import next to it
+    assert texts_b[decoy] == solo_transcript(model, decoy_audio[:3200])
+
+
+def test_ending_stream_migrates_and_finalizes_remotely(model):
+    """END received on A, stream exported before the finalize chunk ran: the
+    importing engine must finalize it from the carried bookkeeping (leftover-
+    frame math runs on total_pushed/steps continuity)."""
+    audio = make_audio(7000, seed=4)  # non-chunk-aligned tail
+    want = solo_transcript(model, audio)
+
+    engine_a = BatchedEngine(model, batch_per_group=1)
+    engine_b = BatchedEngine(model, batch_per_group=1)
+    sid = engine_a.start_stream(0)
+    texts = {sid: ""}
+    for off in range(0, 7000, 1750):
+        engine_a.push_audio(sid, audio[off : off + 1750])
+        ev, _ = engine_a.tick()
+        for e in ev:
+            texts[e.stream_id] += e.text
+    engine_a.end_stream(sid)
+
+    fut = engine_a.request_export(sid)
+    ev, _ = engine_a.tick()
+    for e in ev:
+        texts[e.stream_id] += e.text
+    snap = fut.result(timeout=10)
+    assert snap["ending"] is True
+
+    fut2 = engine_b.request_import(snap)
+    ev, _ = engine_b.tick()
+    sid2 = fut2.result(timeout=10)
+    texts[sid2] = texts.pop(sid)
+    ended = run_to_end(engine_b, texts)
+    assert sid2 in ended
+    assert texts[sid2] == want
+
+
+def test_export_rejects_unknown_and_finalizing(model):
+    engine = BatchedEngine(model, batch_per_group=1)
+    with pytest.raises(KeyError):
+        engine.request_export(12345)
+
+    audio = make_audio(3200, seed=5)
+    sid = engine.start_stream(0)
+    engine.push_audio(sid, audio)
+    engine.tick()
+    # the finalize-dispatched-but-not-yet-ended window cannot be reached
+    # deterministically from the public API (a lone R=0 stream's finalize
+    # lands with its ended event in the same tick) — simulate the race
+    group = engine.groups[0]
+    group.slots[group.find(sid)].finalize_sent = True
+    fut = engine.request_export(sid)
+    engine.tick()
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=10)
+
+
+def test_migration_with_kv_int8_caches(model, monkeypatch):
+    """The snapshot must carry QuantKV cache leaves (int8 payload + scales)
+    through the bytes roundtrip and install them bit-exactly."""
+    monkeypatch.setenv("NEMOTRON_TPU_KV_INT8", "1")
+    audio = make_audio(9600, seed=7)
+    want = solo_transcript(model, audio)
+
+    engine_a = BatchedEngine(model, batch_per_group=1)
+    engine_b = BatchedEngine(model, batch_per_group=1)
+    sid = engine_a.start_stream(0)
+    text = ""
+    for off in range(0, 4800, 1600):
+        engine_a.push_audio(sid, audio[off : off + 1600])
+        ev, _ = engine_a.tick()
+        text += "".join(e.text for e in ev)
+    fut = engine_a.request_export(sid)
+    ev, _ = engine_a.tick()
+    text += "".join(e.text for e in ev)
+    snap = fut.result(timeout=10)
+    assert snap["kv_int8"] is True
+
+    snap2 = snapshot_from_bytes(snapshot_to_bytes(snap), model)
+    fut2 = engine_b.request_import(snap2)
+    engine_b.tick()
+    sid2 = fut2.result(timeout=10)
+    for off in range(4800, 9600, 1600):
+        engine_b.push_audio(sid2, audio[off : off + 1600])
+        ev, _ = engine_b.tick()
+        text += "".join(e.text for e in ev)
+    engine_b.end_stream(sid2)
+    texts = {sid2: ""}
+    run_to_end(engine_b, texts)
+    assert text + texts[sid2] == want
+
+
+def test_import_rejects_mismatched_config(model):
+    engine_a = BatchedEngine(model, batch_per_group=1)
+    engine_b = BatchedEngine(model, batch_per_group=1)
+    sid = engine_a.start_stream(0)
+    engine_a.push_audio(sid, make_audio(3200, seed=6))
+    engine_a.tick()
+    fut = engine_a.request_export(sid)
+    engine_a.tick()
+    snap = fut.result(timeout=10)
+
+    bad = dict(snap)
+    bad["n_phases"] = snap["n_phases"] + 1
+    fut2 = engine_b.request_import(bad)
+    engine_b.tick()
+    with pytest.raises(ValueError):
+        fut2.result(timeout=10)
