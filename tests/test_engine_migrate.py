@@ -210,6 +210,54 @@ def test_migration_with_kv_int8_caches(model, monkeypatch):
     assert text + texts[sid2] == want
 
 
+def test_migration_across_topologies():
+    """Elastic scale: a stream leaves a dp-mesh-sharded engine and resumes on
+    a single-device engine (snapshot leaves are gathered to host, install
+    re-shards under the importer's layout). Same transcript as never moving."""
+    import jax
+
+    from nemotron_tpu.parallel.mesh import make_mesh
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        pytest.skip("need 2 cpu devices")
+    hp, params = tiny_model(seed=0)
+    vocab = [("▁w%d" % i) if i % 2 == 0 else ("p%d" % i)
+             for i in range(hp.vocab_size - 1)]
+    model_mesh = ASRModel(hp, params, vocab).shard(
+        make_mesh(2, 1, devices=cpus[:2]))
+    model_single = ASRModel(hp, params, vocab)
+
+    audio = make_audio(9600, seed=8)
+    want = solo_transcript(model_single, audio)
+
+    engine_a = BatchedEngine(model_mesh, batch_per_group=2)
+    engine_b = BatchedEngine(model_single, batch_per_group=1)
+    sid = engine_a.start_stream(0)
+    text = ""
+    for off in range(0, 4800, 1600):
+        engine_a.push_audio(sid, audio[off : off + 1600])
+        ev, _ = engine_a.tick()
+        text += "".join(e.text for e in ev)
+    fut = engine_a.request_export(sid)
+    ev, _ = engine_a.tick()
+    text += "".join(e.text for e in ev)
+    snap = fut.result(timeout=10)
+
+    fut2 = engine_b.request_import(
+        snapshot_from_bytes(snapshot_to_bytes(snap), model_single))
+    engine_b.tick()
+    sid2 = fut2.result(timeout=10)
+    for off in range(4800, 9600, 1600):
+        engine_b.push_audio(sid2, audio[off : off + 1600])
+        ev, _ = engine_b.tick()
+        text += "".join(e.text for e in ev)
+    engine_b.end_stream(sid2)
+    texts = {sid2: ""}
+    run_to_end(engine_b, texts)
+    assert text + texts[sid2] == want
+
+
 def test_import_rejects_mismatched_config(model):
     engine_a = BatchedEngine(model, batch_per_group=1)
     engine_b = BatchedEngine(model, batch_per_group=1)
