@@ -518,14 +518,20 @@ class EngineGroup:
             slot = _Slot(stream_id, int(snap["prompt_index"]))
             self.slots[idx] = slot
             self.n_active_streams += 1
-        with DEVICE_LOCK:
-            self.state = install_slot(self.state, idx, snap["state"])
-            delta = self.phase - int(snap["phase"])
-            if delta:
-                m = np.zeros(self.batch, dtype=bool)
-                m[idx] = True
-                self.state = self.model.realign_state(self.cfg, self.state,
-                                                      delta, m)
+        try:
+            with DEVICE_LOCK:
+                self.state = install_slot(self.state, idx, snap["state"])
+                delta = self.phase - int(snap["phase"])
+                if delta:
+                    m = np.zeros(self.batch, dtype=bool)
+                    m[idx] = True
+                    self.state = self.model.realign_state(
+                        self.cfg, self.state, delta, m)
+        except Exception:
+            # e.g. a shape mismatch from foreign Hparams: state is untouched
+            # (functional update failed at trace time) — don't leak the slot
+            self.release(idx)
+            raise
         self.slot_phase[idx] = self.phase
         self.frame_offsets[idx] = int(snap["frame_offset"])
         slot.tokens = list(snap["tokens"])

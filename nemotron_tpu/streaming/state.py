@@ -133,18 +133,25 @@ def install_slot(state: StreamState, idx: int, snap: StreamState) -> StreamState
     """Write a batch-1 snapshot (from extract_slot) into slot `idx`.
 
     Shapes (hence Hparams/CacheConfig/kv-int8 mode) must match the target
-    batch; migration between differing configs is a caller error."""
+    batch; migration between differing configs is a caller error. Every leaf
+    is shape-checked explicitly — .at[].set would silently BROADCAST a
+    foreign-shaped snapshot into the slot instead of failing."""
+
+    def _set(a, b, axis: int):
+        b = jnp.asarray(b, a.dtype)
+        want = a.shape[:axis] + (1,) + a.shape[axis + 1 :]
+        if b.shape != want:
+            raise ValueError(
+                f"snapshot leaf shape {b.shape} != expected {want} "
+                "(mismatched Hparams/CacheConfig?)")
+        sel = (slice(None),) * axis + (slice(idx, idx + 1),)
+        return a.at[sel].set(b)
 
     def s0(x, n):
-        return jax.tree.map(
-            lambda a, b: a.at[idx : idx + 1].set(jnp.asarray(b, a.dtype)), x, n
-        )
+        return jax.tree.map(lambda a, b: _set(a, b, 0), x, n)
 
     def s1(x, n):
-        return jax.tree.map(
-            lambda a, b: a.at[:, idx : idx + 1].set(jnp.asarray(b, a.dtype)),
-            x, n,
-        )
+        return jax.tree.map(lambda a, b: _set(a, b, 1), x, n)
 
     return StreamState(
         k_cache=s1(state.k_cache, snap.k_cache),

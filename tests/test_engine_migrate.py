@@ -274,3 +274,18 @@ def test_import_rejects_mismatched_config(model):
     engine_b.tick()
     with pytest.raises(ValueError):
         fut2.result(timeout=10)
+
+    # foreign state shapes (e.g. another model's Hparams) must fail the
+    # install WITHOUT leaking the claimed slot
+    import dataclasses
+
+    bad2 = dict(snap)
+    bad2["state"] = dataclasses.replace(
+        snap["state"], conv_cache=snap["state"].conv_cache[:, :, :1])
+    fut3 = engine_b.request_import(bad2)
+    engine_b.tick()
+    with pytest.raises(Exception):
+        fut3.result(timeout=10)
+    assert engine_b.groups[0].n_active_streams == 0
+    sid_ok = engine_b.start_stream(0)  # capacity intact after the failure
+    assert sid_ok > 0
