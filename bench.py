@@ -1,9 +1,9 @@
 """Benchmark: concurrent real-time 80 ms streams per chip.
 
-Measures the full steady-state serving hot path for one chunk across a batch of
-B concurrent streams: batched mel frontend (DFT matmuls) + cache-aware encoder
-chunk + on-device greedy RNNT decode. A batch of B streams is real-time when
-one batched 80 ms chunk step takes <= 80 ms, so
+Measures the full steady-state serving hot path for one chunk across a batch
+of B concurrent streams: batched mel frontend (DFT matmuls) + cache-aware
+encoder chunk + on-device greedy RNNT decode. A batch of B streams is
+real-time when one batched 80 ms chunk step takes <= 80 ms, so
 
     concurrent_realtime_streams = B * 0.080 / step_time
 
@@ -12,18 +12,36 @@ Baseline: the reference's single-stream streaming RTF of 0.064 on an RTX 4080
 real-time streams per device. vs_baseline = ours / 15.6.
 
 Prints ONE JSON line. Extra diagnostics go to stderr.
+
+Robustness contract (the round-4 artifact was lost to a 408 s remote compile
+starving the driver's timeout — BENCH_r04.json rc:124):
+
+- A lightweight PARENT process (no jax import — `import jax` hangs outright
+  during tunnel outages) supervises a measurement CHILD and always prints the
+  one JSON line: on child completion, on SIGTERM/SIGINT (the driver's
+  `timeout`), or on its own --budget-s alarm. If the child dies or stalls
+  mid-pass the best measurement so far is still reported, tagged
+  `"partial": true`.
+- The child measures the expected WINNER first (kv-int8 at B=768, the
+  standing headline config — PERF.md) so one successful pass suffices for a
+  valid headline; comparison rows (bf16, smaller batches) run only while the
+  time budget allows.
 """
 
 from __future__ import annotations
 
 import functools
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_STREAMS = 1.0 / 0.064
+METRIC = "concurrent_realtime_streams_80ms"
 
 _PROBE_CODE = """
 import jax
@@ -48,8 +66,6 @@ def probe_device(timeout_s: float) -> bool:
     whole bench harness — the subprocess hangs instead and we fail with a
     structured JSON. A healthy first-time probe may legitimately take minutes
     through the remote compiler (cached in .jax_cache after)."""
-    import subprocess
-
     try:
         r = subprocess.run([sys.executable, "-c", _PROBE_CODE],
                            timeout=timeout_s, capture_output=True)
@@ -199,38 +215,268 @@ def run(batch_sizes=(256, 384, 512, 768), dtype=None, steps=20,
     return best
 
 
+# ---------------------------------------------------------------------------
+# Child: runs the measurement passes in priority order, printing one
+# machine-readable `RESULT {json}` line per successful pass (flushed
+# immediately, so the parent harvests a headline even if a later pass dies).
+# ---------------------------------------------------------------------------
+
+def _emit_result(best, config: str):
+    print("RESULT " + json.dumps({
+        "B": best["B"], "step_time": best["step_time"],
+        "streams": best["streams"], "config": config}), flush=True)
+
+
+def _plan_passes(args) -> list[tuple[str, int]]:
+    """Priority-ordered (config, batch) passes. The expected winner leads:
+    kv-int8 at the largest batch (the standing headline — PERF.md round-3/4:
+    B=768 kv-int8 ~2241 rt streams), so the FIRST successful pass already
+    yields a valid headline. Later passes only refine/attribute."""
+    if args.int4:
+        named = "int4"
+    elif args.int8:
+        named = "int8"
+    elif args.kv_int8:
+        named = "kv_int8"
+    else:
+        named = None
+
+    if args.batches:
+        batches = tuple(int(x) for x in args.batches.split(","))
+    else:
+        batches = (768, 512, 384, 256)  # descending: winner-first
+    if named is not None:
+        return [(named, b) for b in batches]
+    if args.no_kv_int8_alt:
+        return [("bf16", b) for b in batches]
+    passes = [("kv_int8", b) for b in batches]
+    # bf16 comparison rows (honest attribution of the kv-int8 win) after
+    # every kv-int8 batch: lower priority than getting the headline right
+    passes += [("bf16", b) for b in batches]
+    return passes
+
+
+def child_main(args) -> int:
+    t0 = args.t0 or time.time()
+    budget = args.budget_s
+
+    def elapsed():
+        return time.time() - t0
+
+    if os.environ.get("NEMOTRON_TPU_BENCH_FAKE") == "1":
+        # test hook: synthetic results without a device (tests/test_bench_contract.py)
+        for i, (config, b) in enumerate(_plan_passes(args)):
+            time.sleep(float(os.environ.get("NEMOTRON_TPU_BENCH_FAKE_DELAY",
+                                            "0.2")))
+            _emit_result({"B": b, "step_time": 0.03,
+                          "streams": 2000.0 + 10 * i}, config)
+        print("DONE", flush=True)
+        return 0
+
+    probe_timeout = min(args.probe_timeout, max(120.0, budget * 0.4))
+    if args.probe_timeout > 0 and not probe_device(probe_timeout):
+        print("device probe failed: tunnel down or compile service "
+              "unresponsive", file=sys.stderr)
+        print("PROBEFAIL", flush=True)
+        return 1
+
+    have_result = False
+    measured: set[tuple[str, int]] = set()
+    for config, b in _plan_passes(args):
+        if (config, b) in measured:
+            continue
+        if have_result and elapsed() > budget * 0.5:
+            print(f"[budget] {elapsed():.0f}s of {budget:.0f}s spent — "
+                  f"skipping remaining comparison passes", file=sys.stderr)
+            break
+        if config == "kv_int8":
+            os.environ["NEMOTRON_TPU_KV_INT8"] = "1"
+        else:
+            os.environ.pop("NEMOTRON_TPU_KV_INT8", None)
+        r = run(batch_sizes=(b,), int8=(config == "int8"),
+                int4=(config == "int4"), right_context=args.right_context)
+        measured.add((config, b))
+        if r is not None:
+            have_result = True
+            _emit_result(r, config)
+        # a failed pass (OOM/crash at this shape) just falls through to the
+        # next (config, batch) in priority order
+
+    if args.sweep and have_result and elapsed() < budget * 0.5:
+        # latency-mode rows (stderr only; the driver JSON metric stays R=0).
+        # Measured under the headline config; larger R = longer K/V buffers,
+        # so fall back to smaller batches until one fits.
+        os.environ["NEMOTRON_TPU_KV_INT8"] = (
+            "0" if (args.int8 or args.int4 or args.no_kv_int8_alt) else "1")
+        config = ("int8" if args.int8 else "int4" if args.int4 else
+                  "bf16" if args.no_kv_int8_alt else "kv_int8")
+        for rc in (1, 6, 13):
+            if elapsed() > budget * 0.7:
+                print("[budget] skipping remaining sweep rows",
+                      file=sys.stderr)
+                break
+            for b in (768, 512, 384, 256):
+                r = run(batch_sizes=(b,), int8=args.int8, int4=args.int4,
+                        right_context=rc)
+                if r:
+                    print(f"[sweep] R={rc}: B={r['B']} "
+                          f"step={r['step_time'] * 1e3:.2f} ms -> "
+                          f"{r['streams']:.0f} rt streams ({config})",
+                          file=sys.stderr)
+                    break
+    print("DONE", flush=True)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Parent: jax-free supervisor. Always prints the one JSON line.
+# ---------------------------------------------------------------------------
+
+class _Supervisor:
+    def __init__(self):
+        self.best: dict | None = None
+        self.config: str | None = None
+        self.done = False          # child printed DONE (clean completion)
+        self.probe_failed = False
+        self.child: subprocess.Popen | None = None
+        self.emitted = False
+
+    def note_result(self, rec: dict):
+        if self.best is None or rec["streams"] > self.best["streams"]:
+            self.best = rec
+            self.config = rec.get("config", "bf16")
+
+    def emit_and_exit(self, partial: bool, error: str | None = None):
+        """Print the single JSON contract line exactly once and hard-exit.
+        Called from signal handlers, so it must not allocate heavily or
+        re-enter python finalizers (os._exit)."""
+        if self.emitted:
+            os._exit(0)
+        self.emitted = True
+        if self.child is not None and self.child.poll() is None:
+            try:
+                self.child.kill()
+            except Exception:
+                pass
+        if self.best is None:
+            rec = {"metric": METRIC, "value": 0, "unit": "streams/chip",
+                   "vs_baseline": 0.0,
+                   "error": error or "no measurement completed"}
+            sys.stdout.write(json.dumps(rec) + "\n")
+            sys.stdout.flush()
+            os._exit(1)
+        value = round(self.best["streams"], 1)
+        rec = {"metric": METRIC, "value": value, "unit": "streams/chip",
+               "vs_baseline": round(value / BASELINE_STREAMS, 2),
+               "config": self.config}
+        if partial:
+            rec["partial"] = True
+        sys.stdout.write(json.dumps(rec) + "\n")
+        sys.stdout.flush()
+        os._exit(0)
+
+
+def parent_main(args) -> int:
+    sup = _Supervisor()
+    t0 = time.time()
+    budget = args.budget_s
+
+    def on_signal(signum, frame):
+        # the driver's timeout (SIGTERM) / ^C: report the best so far NOW
+        print(f"[bench] signal {signum} — emitting best-so-far",
+              file=sys.stderr)
+        sup.emit_and_exit(partial=not sup.done,
+                          error=f"terminated by signal {signum} before any "
+                                f"measurement completed")
+
+    def on_alarm(signum, frame):
+        if sup.best is not None or sup.probe_failed:
+            print(f"[bench] budget {budget:.0f}s exhausted — emitting "
+                  f"best-so-far", file=sys.stderr)
+            sup.emit_and_exit(partial=not sup.done)
+        # no result yet (one slow remote compile can exceed any budget —
+        # r04 saw 408 s for a single shape): grant grace slices up to
+        # 2x budget waiting for the FIRST result, then give up
+        if time.time() - t0 > 2 * budget:
+            sup.emit_and_exit(partial=True,
+                              error=f"no measurement within {2 * budget:.0f}s")
+        print("[bench] budget spent but no result yet — waiting for the "
+              "first measurement (grace up to 2x budget)", file=sys.stderr)
+        signal.alarm(60)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(max(1, int(budget)))
+
+    child_argv = [sys.executable, os.path.abspath(__file__), "--child",
+                  "--t0", repr(t0)] + args.forward_argv
+    sup.child = subprocess.Popen(child_argv, stdout=subprocess.PIPE,
+                                 text=True, bufsize=1)
+    assert sup.child.stdout is not None
+    for line in sup.child.stdout:
+        line = line.rstrip("\n")
+        if line.startswith("RESULT "):
+            try:
+                sup.note_result(json.loads(line[len("RESULT "):]))
+            except (json.JSONDecodeError, KeyError) as e:
+                print(f"[bench] bad RESULT line: {e}", file=sys.stderr)
+        elif line == "DONE":
+            sup.done = True
+        elif line == "PROBEFAIL":
+            sup.probe_failed = True
+        elif line:
+            print(line, file=sys.stderr)
+    rc = sup.child.wait()
+    signal.alarm(0)
+    if sup.probe_failed and sup.best is None:
+        sup.emit_and_exit(partial=False,
+                          error="device unreachable (probe timed out)")
+    if rc != 0 and sup.best is None:
+        sup.emit_and_exit(partial=False,
+                          error=f"measurement child exited rc={rc} with no "
+                                f"result")
+    sup.emit_and_exit(partial=not sup.done)
+    return 0  # unreachable (emit_and_exit os._exits)
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--t0", type=float, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--int4", action="store_true",
                     help="weight-only Q4_0 encoder (quarter weight memory; "
-                         "variant line like --int8)")
+                         "headline measured under this config)")
     ap.add_argument("--int8", action="store_true",
-                    help="weight-only Q8_0 encoder (variant line, stderr "
-                         "PERF.md numbers; the driver metric stays bf16)")
+                    help="weight-only Q8_0 encoder")
     ap.add_argument("--kv-int8", action="store_true",
-                    help="int8-quantized attention K/V caches (halves the "
-                         "dominant HBM traffic of the streaming step; "
-                         "variant line like --int8)")
+                    help="int8-quantized attention K/V caches only (skip "
+                         "the bf16 comparison rows)")
     ap.add_argument("--right-context", type=int, default=0,
                     help="latency mode (R frames of lookahead; 0 = 80 ms)")
     ap.add_argument("--sweep", action="store_true",
-                    help="also measure R in {1, 6, 13} at the best R=0 batch "
-                         "(stderr rows; the driver JSON metric stays R=0)")
+                    help="also measure R in {1, 6, 13} (stderr rows; the "
+                         "driver JSON metric stays R=0)")
     ap.add_argument("--batches", default=None,
-                    help="comma-separated batch sizes (default 256,384,512,768)")
+                    help="comma-separated batch sizes in measurement order "
+                         "(default 768,512,384,256 — winner first)")
     ap.add_argument("--no-kv-int8-alt", action="store_true",
-                    help="skip the automatic kv-int8 alternate measurement "
-                         "after the bf16 sweep (saves one compile+measure "
-                         "pass; the headline is then whatever bf16 gave)")
+                    help="measure bf16 only (skip the kv-int8 headline "
+                         "passes)")
     ap.add_argument("--probe-timeout", type=float, default=1200.0,
                     help="seconds to wait for the subprocess device probe "
-                         "before declaring the device unreachable (0 = skip "
-                         "the probe)")
+                         "(0 = skip the probe); capped at 40%% of the "
+                         "budget")
+    ap.add_argument("--budget-s", type=float,
+                    default=float(os.environ.get(
+                        "NEMOTRON_TPU_BENCH_BUDGET_S", "1500")),
+                    help="soft wall-clock budget: comparison passes are "
+                         "skipped once half is spent, and at the full "
+                         "budget the best-so-far JSON is emitted (grace up "
+                         "to 2x waiting for a first result)")
     args = ap.parse_args()
-    batches = (tuple(int(x) for x in args.batches.split(","))
-               if args.batches else (256, 384, 512, 768))
     if args.int8 and args.int4:
         ap.error("--int8 and --int4 are mutually exclusive")
     if args.kv_int8 and (args.int8 or args.int4):
@@ -238,84 +484,11 @@ def main():
         # configuration — refuse rather than mislabel the measurement
         ap.error("--kv-int8 cannot be combined with --int8/--int4 "
                  "(the config label would be ambiguous)")
-    if args.kv_int8:
-        # must be set before nemotron_tpu modules allocate state
-        import os
-
-        os.environ["NEMOTRON_TPU_KV_INT8"] = "1"
-    if args.probe_timeout > 0 and not probe_device(args.probe_timeout):
-        print("device probe failed: tunnel down or compile service "
-              "unresponsive", file=sys.stderr)
-        print(json.dumps({"metric": "concurrent_realtime_streams_80ms",
-                          "value": 0, "unit": "streams/chip",
-                          "vs_baseline": 0.0,
-                          "error": "device unreachable (probe timed out)"}))
-        return 1
-    best = run(batch_sizes=batches, int8=args.int8, int4=args.int4,
-               right_context=args.right_context)
-    config = ("kv_int8" if args.kv_int8 else
-              "int4" if args.int4 else "int8" if args.int8 else "bf16")
-    if best is not None and config == "bf16" and not args.no_kv_int8_alt:
-        # Also measure the int8-K/V serving configuration at the winning
-        # batch and report whichever is faster. It is the same serving
-        # program (weights/activations stay bf16) with the attention cache
-        # HISTORY stored int8 + per-frame scales — engine transcripts are
-        # test-equal to sessions under it (tests/test_kv_int8.py) and cache
-        # reads carry ~0.4% relative error (ops/kvquant.py docstring). The
-        # chosen configuration is named in the JSON for honest attribution.
-        import os
-
-        os.environ["NEMOTRON_TPU_KV_INT8"] = "1"
-        try:
-            alt = run(batch_sizes=(best["B"],),
-                      right_context=args.right_context)
-        finally:
-            os.environ.pop("NEMOTRON_TPU_KV_INT8", None)
-        if alt is not None and alt["streams"] > best["streams"]:
-            print(f"[kv-int8] wins at B={alt['B']}: "
-                  f"{alt['streams']:.0f} vs bf16 {best['streams']:.0f}",
-                  file=sys.stderr)
-            best, config = alt, "kv_int8"
-    if best is not None and args.sweep:
-        # larger R = longer K/V buffers: the best R=0 batch can exceed HBM
-        # (B=768 at R=6 needs 20+ GB to compile), so fall back to smaller
-        # batches until one fits
-        import os
-
-        candidates = [b for b in (best["B"], 512, 384, 256)
-                      if b <= best["B"]]
-        candidates = list(dict.fromkeys(candidates))
-        if config == "kv_int8":
-            # measure the sweep rows under the SAME configuration the
-            # headline reports, or the table would be inconsistent
-            os.environ["NEMOTRON_TPU_KV_INT8"] = "1"
-        try:
-            for rc in (1, 6, 13):
-                for b in candidates:
-                    r = run(batch_sizes=(b,), int8=args.int8, int4=args.int4,
-                            right_context=rc)
-                    if r:
-                        print(f"[sweep] R={rc}: B={r['B']} "
-                              f"step={r['step_time'] * 1e3:.2f} ms -> "
-                              f"{r['streams']:.0f} rt streams "
-                              f"({config})", file=sys.stderr)
-                        break
-        finally:
-            if config == "kv_int8" and not args.kv_int8:
-                os.environ.pop("NEMOTRON_TPU_KV_INT8", None)
-    if best is None:
-        print(json.dumps({"metric": "concurrent_realtime_streams_80ms",
-                          "value": 0, "unit": "streams/chip", "vs_baseline": 0.0}))
-        return 1
-    value = round(best["streams"], 1)
-    print(json.dumps({
-        "metric": "concurrent_realtime_streams_80ms",
-        "value": value,
-        "unit": "streams/chip",
-        "vs_baseline": round(value / BASELINE_STREAMS, 2),
-        "config": config,
-    }))
-    return 0
+    if args.child:
+        return child_main(args)
+    # forward everything except --child/--t0 to the child verbatim
+    args.forward_argv = [a for a in sys.argv[1:]]
+    return parent_main(args)
 
 
 if __name__ == "__main__":
