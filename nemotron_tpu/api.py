@@ -61,6 +61,7 @@ class ASRModel:
         # Optional device mesh ('dp' over the stream batch, optional 'tp' over
         # the big matmuls — parallel/mesh.py). None = single-device.
         self.mesh = None
+        self._weights_fp: str | None = None  # lazy; see weights_fingerprint
 
     # ------------------------------------------------------------------
     def shard(self, mesh) -> "ASRModel":
@@ -127,6 +128,36 @@ class ASRModel:
             return f"{dev.platform}:{dev.id}"
         except Exception:
             return jax.default_backend()
+
+    @property
+    def weights_fingerprint(self) -> str:
+        """Cheap content fingerprint of this model: hparams + vocab + prompt
+        table + a deterministic sample of every weight leaf (first 64
+        elements, upcast to f32 — exact for f32/bf16/int8). Stamped into
+        live-stream snapshots and verified at import so a snapshot from a
+        DIFFERENT checkpoint with identical shapes cannot silently install
+        and produce garbage transcripts. One tiny jit + one device fetch,
+        computed once per model instance."""
+        if self._weights_fp is None:
+            import hashlib
+
+            h = hashlib.sha256()
+            h.update(repr(self.hp).encode("utf-8"))
+            h.update("\x00".join(self.tokenizer.vocab).encode("utf-8"))
+            h.update(repr(sorted(self.prompt_dict.items())).encode("utf-8"))
+            leaves = jax.tree.leaves(self.params)
+            for x in leaves:
+                h.update(f"{x.shape}:{x.dtype};".encode("utf-8"))
+
+            def _sample(params):
+                return jnp.concatenate([
+                    jnp.ravel(leaf)[:64].astype(jnp.float32)
+                    for leaf in jax.tree.leaves(params)
+                ])
+
+            h.update(np.asarray(jax.jit(_sample)(self.params)).tobytes())
+            self._weights_fp = h.hexdigest()
+        return self._weights_fp
 
     def resolve_language(self, lang: str) -> int | None:
         """Prompt code -> index (nemo_set_language, nemo-ggml.cpp:505-523)."""

@@ -477,6 +477,7 @@ class EngineGroup:
             "right_context": int(self.cfg.att_right_context),
             "n_phases": int(self.cfg.n_phases),
             "kv_int8": bool(is_quant(snap_state.k_cache)),
+            "model_fp": self.model.weights_fingerprint,
             "phase": int(self.slot_phase[idx]),
             "frame_offset": int(self.frame_offsets[idx]),
             "state": snap_state,
@@ -510,6 +511,12 @@ class EngineGroup:
             raise ValueError("snapshot n_phases differs from this group")
         if bool(snap["kv_int8"]) != bool(is_quant(self.state.k_cache)):
             raise ValueError("snapshot kv-int8 mode differs from this group")
+        fp = snap.get("model_fp")
+        if fp is not None and fp != self.model.weights_fingerprint:
+            raise ValueError(
+                "snapshot model fingerprint differs from this engine's "
+                "weights (same shapes, different checkpoint/vocab — "
+                "installing it would silently produce garbage transcripts)")
         with self._lock:
             idx = next((i for i, s in enumerate(self.slots) if s is None),
                        None)
@@ -518,15 +525,30 @@ class EngineGroup:
             slot = _Slot(stream_id, int(snap["prompt_index"]))
             self.slots[idx] = slot
             self.n_active_streams += 1
+        # Realign the snapshot's K/V window from the exporter's slack-buffer
+        # phase to this group's phase BEFORE install, as a host-side numpy
+        # roll of the batch-1 snapshot (same semantics as the device
+        # realign_cache roll). On device this would be a realign_state jit —
+        # a variant the legacy gated flow never prewarms, so a nonzero-delta
+        # import there would stall serving on a remote compile (ADVICE r4).
+        snap_state = snap["state"]
+        delta = self.phase - int(snap["phase"])
+        if delta:
+            shift = delta * self.cfg.chunk_len(self.model.hp)
+
+            def _roll(buf):
+                return jax.tree.map(
+                    lambda a: np.roll(np.asarray(a), shift, axis=3), buf)
+
+            import dataclasses as _dc
+
+            snap_state = _dc.replace(
+                snap_state,
+                k_cache=_roll(snap_state.k_cache),
+                v_cache=_roll(snap_state.v_cache))
         try:
             with DEVICE_LOCK:
-                self.state = install_slot(self.state, idx, snap["state"])
-                delta = self.phase - int(snap["phase"])
-                if delta:
-                    m = np.zeros(self.batch, dtype=bool)
-                    m[idx] = True
-                    self.state = self.model.realign_state(
-                        self.cfg, self.state, delta, m)
+                self.state = install_slot(self.state, idx, snap_state)
         except Exception:
             # e.g. a shape mismatch from foreign Hparams: state is untouched
             # (functional update failed at trace time) — don't leak the slot
@@ -1228,13 +1250,19 @@ class BatchedEngine:
 
 def snapshot_to_bytes(snap: dict) -> bytes:
     """Serialize a live-stream snapshot (from BatchedEngine.request_export)
-    for cross-process migration. Inverse: snapshot_from_bytes."""
+    for cross-process migration. Inverse: snapshot_from_bytes.
+
+    Leaf dtypes are recorded by name and extended dtypes (bfloat16 — the
+    TPU-native serving mode) are stored as their raw bit patterns:
+    np.savez would otherwise round-trip ml_dtypes arrays as opaque void
+    records that install_slot cannot cast back."""
     import io
     import json
 
-    leaves = jax.tree.leaves(snap["state"])
+    leaves = [np.asarray(x) for x in jax.tree.leaves(snap["state"])]
     meta = {k: v for k, v in snap.items()
             if k not in ("state", "stage", "tokens", "token_frames")}
+    meta["leaf_dtypes"] = [str(x.dtype) for x in leaves]
     buf = io.BytesIO()
     np.savez(
         buf,
@@ -1243,7 +1271,9 @@ def snapshot_to_bytes(snap: dict) -> bytes:
         tokens=np.asarray(snap["tokens"], np.int64),
         token_frames=np.asarray(snap["token_frames"], np.int64),
         n_leaves=len(leaves),
-        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+        **{f"leaf_{i}": (x.view(np.uint16)
+                         if x.dtype == jnp.bfloat16 else x)
+           for i, x in enumerate(leaves)},
     )
     return buf.getvalue()
 
@@ -1269,8 +1299,23 @@ def snapshot_from_bytes(data: bytes, model) -> dict:
                                  dtype=model.params.pos_emb.dtype)
     treedef = jax.tree.structure(template)
     n = int(z["n_leaves"])
-    state = jax.tree.unflatten(treedef,
-                               [z[f"leaf_{i}"] for i in range(n)])
+    dtypes = meta.pop("leaf_dtypes", None) or [None] * n
+
+    def _leaf(i: int) -> np.ndarray:
+        a = z[f"leaf_{i}"]
+        name = dtypes[i]
+        if name is not None and name != str(a.dtype):
+            # extended dtype stored as its bit pattern (bfloat16 as uint16)
+            try:
+                dt = np.dtype(name)
+            except TypeError:
+                import ml_dtypes
+
+                dt = np.dtype(getattr(ml_dtypes, name))
+            a = a.view(dt)
+        return a
+
+    state = jax.tree.unflatten(treedef, [_leaf(i) for i in range(n)])
     snap = dict(meta)
     snap["state"] = state
     snap["stage"] = z["stage"]

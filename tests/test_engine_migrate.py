@@ -258,6 +258,78 @@ def test_migration_across_topologies():
     assert text + texts[sid2] == want
 
 
+def test_migration_with_bf16_state():
+    """bf16 engines (the TPU-native serving mode) must round-trip snapshots
+    through bytes: np.savez stores ml_dtypes bfloat16 as opaque void records
+    unless the dtype is recorded and the bit pattern restored (ADVICE r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    hp, params = tiny_model(seed=0)
+    params16 = jax.tree.map(
+        lambda a: (a.astype(jnp.bfloat16)
+                   if jnp.issubdtype(a.dtype, jnp.floating) else a), params)
+    vocab = [("▁w%d" % i) if i % 2 == 0 else ("p%d" % i)
+             for i in range(hp.vocab_size - 1)]
+    model16 = ASRModel(hp, params16, vocab)
+
+    audio = make_audio(9600, seed=11)
+    want = solo_transcript(model16, audio)
+
+    engine_a = BatchedEngine(model16, batch_per_group=1)
+    engine_b = BatchedEngine(model16, batch_per_group=1)
+    sid = engine_a.start_stream(0)
+    text = ""
+    for off in range(0, 4800, 1600):
+        engine_a.push_audio(sid, audio[off : off + 1600])
+        ev, _ = engine_a.tick()
+        text += "".join(e.text for e in ev)
+    fut = engine_a.request_export(sid)
+    ev, _ = engine_a.tick()
+    text += "".join(e.text for e in ev)
+    snap = fut.result(timeout=10)
+    assert any(np.asarray(x).dtype == jnp.bfloat16
+               for x in jax.tree.leaves(snap["state"]))
+
+    snap2 = snapshot_from_bytes(snapshot_to_bytes(snap), model16)
+    fut2 = engine_b.request_import(snap2)
+    engine_b.tick()
+    sid2 = fut2.result(timeout=10)
+    for off in range(4800, 9600, 1600):
+        engine_b.push_audio(sid2, audio[off : off + 1600])
+        ev, _ = engine_b.tick()
+        text += "".join(e.text for e in ev)
+    engine_b.end_stream(sid2)
+    texts = {sid2: ""}
+    run_to_end(engine_b, texts)
+    assert text + texts[sid2] == want
+
+
+def test_import_rejects_foreign_checkpoint(model):
+    """Same Hparams/shapes, different weights: the snapshot's model
+    fingerprint must refuse the install instead of silently producing
+    garbage transcripts (ADVICE r4)."""
+    hp, params2 = tiny_model(seed=1)
+    vocab = [("▁w%d" % i) if i % 2 == 0 else ("p%d" % i)
+             for i in range(hp.vocab_size - 1)]
+    model2 = ASRModel(hp, params2, vocab)
+
+    engine_a = BatchedEngine(model, batch_per_group=1)
+    engine_b = BatchedEngine(model2, batch_per_group=1)
+    sid = engine_a.start_stream(0)
+    engine_a.push_audio(sid, make_audio(3200, seed=12))
+    engine_a.tick()
+    fut = engine_a.request_export(sid)
+    engine_a.tick()
+    snap = fut.result(timeout=10)
+
+    fut2 = engine_b.request_import(snap)
+    engine_b.tick()
+    with pytest.raises(ValueError, match="fingerprint"):
+        fut2.result(timeout=10)
+    assert engine_b.groups[0].n_active_streams == 0
+
+
 def test_import_rejects_mismatched_config(model):
     engine_a = BatchedEngine(model, batch_per_group=1)
     engine_b = BatchedEngine(model, batch_per_group=1)
