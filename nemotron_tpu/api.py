@@ -245,10 +245,19 @@ class ASRModel:
     def _fused_tick_packed_fn(self, cfg: CacheConfig, batch: int,
                               all_active: bool, phase: int, k: int,
                               fast_gated: bool = False):
-        from .models.asr import fused_serve_tick, fused_serve_tick_multi
+        import os
+
+        from .models.asr import (fused_serve_tick, fused_serve_tick_multi,
+                                 fused_serve_tick_scan)
 
         hp = self.hp
         shift = cfg.shift_samples
+        # chunk-loop (lax.scan) form of the k-chunk program: one compiled
+        # tick body regardless of k (the unrolled form's compile footprint
+        # grows with k*B and OOMed at k=4/B=512). 0 restores the unrolled
+        # program (requires no phase/k divisibility).
+        use_scan = os.environ.get("NEMOTRON_TPU_MULTI_SCAN", "1") == "1" \
+            and k > 1 and cfg.n_phases % k == 0 and phase % k == 0
 
         def build():
             @functools.partial(jax.jit, donate_argnums=(1,))
@@ -269,6 +278,11 @@ class ASRModel:
                         fast_gated=fast_gated,
                     )
                 # backlog micro-batching: k chunks per dispatch (all-active)
+                if use_scan:
+                    return fused_serve_tick_scan(
+                        params, state, audio, n_valid, prompt_arg,
+                        hp=hp, cfg=cfg, k=k, phase=phase,
+                    )
                 return fused_serve_tick_multi(
                     params, state, audio, n_valid, prompt_arg,
                     hp=hp, cfg=cfg, k=k, phase=phase,

@@ -118,9 +118,17 @@ def _batched_eig_sweep(sub_aff: np.ndarray, p_list: list[int],
                        max_num_speakers: int):
     """Stack one Laplacian per candidate p and eigendecompose them all in a
     single batched eigvalsh. Returns (g_p array, est_num_spk array)."""
+    import jax
+
     n = sub_aff.shape[0]
     laps = np.stack([laplacian(binarize_topk(sub_aff, p)) for p in p_list])
-    lambdas = np.asarray(jnp.linalg.eigvalsh(jnp.asarray(laps)))  # [P, N] asc
+    # Pinned to CPU devices: the sweep then never touches the serving
+    # accelerator (or its DEVICE_LOCK) — the server runs finalize_cluster on
+    # a worker thread while engine ticks continue. LAPACK syevd on host is
+    # also faster than shipping [P, N, N] through a tunneled TPU.
+    with jax.default_device(jax.devices("cpu")[0]):
+        lambdas = np.asarray(
+            jnp.linalg.eigvalsh(jnp.asarray(laps)))  # [P, N] asc
     gaps = lambdas[:, 1:] - lambdas[:, :-1]                        # [P, N-1]
     k = min(gaps.shape[1], max_num_speakers)
     kbest = np.argmax(gaps[:, :k], axis=1)                        # first max

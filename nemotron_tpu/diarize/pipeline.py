@@ -325,15 +325,31 @@ class DiarizePipeline:
         self._flush_spk()
         self._close_segment(end_frame)
 
-    def finalize(self) -> DiarizeResult:
+    def finalize_embeddings(self) -> None:
+        """Device half of finalize: flush the open segment's tail
+        sub-segments through TitaNet and the pending word. After this call
+        no device math remains — finalize_cluster() is pure host/CPU work
+        and may run on another thread (the server takes NME-SC off the
+        engine-tick critical path this way: a 1+ s cluster at N=512 on the
+        tick thread would stall every stream's 80 ms deadline)."""
         if self._finalized:
-            return DiarizeResult("", "", self.words, [], 0)
+            return
         self._finalized = True
         self._finalize_open_segment()
         if self.word_pending:
             self.words.append(Word(self.word_pending, self.word_pending_at))
             self.word_pending = ""
 
+    def finalize(self) -> DiarizeResult:
+        if self._finalized:
+            return DiarizeResult("", "", self.words, [], 0)
+        self.finalize_embeddings()
+        return self.finalize_cluster()
+
+    def finalize_cluster(self) -> DiarizeResult:
+        """Clustering + word alignment + outputs (host numpy; the NME-SC
+        eigendecomposition is pinned to CPU devices in cluster.py). Call
+        after finalize_embeddings()."""
         if not self.subs:
             return DiarizeResult("", "", self.words, [], 0)
 

@@ -129,6 +129,7 @@ def fused_encode_tick(
     cfg: CacheConfig,
     phase: int = 0,
     fast_gated: bool = False,
+    phase_consts=None,
 ):
     """Frontend + encoder half of the fused serving tick: raw PCM blocks in ->
     encoder frames out, all frontend/cache state advanced (decode state
@@ -169,6 +170,7 @@ def fused_encode_tick(
         prompt_onehot=prompt_onehot,
         phase=phase, advance_phase=active is None or fast_gated,
         active_mask=act if fast_gated else None,
+        phase_consts=phase_consts,
     )
 
     if active is None:
@@ -225,6 +227,7 @@ def fused_serve_tick(
     cfg: CacheConfig,
     phase: int = 0,
     fast_gated: bool = False,
+    phase_consts=None,
 ):
     """Whole serving hot path in ONE device program: raw PCM in -> tokens out.
     This removes the mel upload+readback round-trips that capped the tunneled
@@ -240,7 +243,7 @@ def fused_serve_tick(
     """
     new_state, enc = fused_encode_tick(
         params, state, audio_block, active, prompt_idx, hp=hp, cfg=cfg,
-        phase=phase, fast_gated=fast_gated,
+        phase=phase, fast_gated=fast_gated, phase_consts=phase_consts,
     )
     return decode_tick(params, new_state, enc, n_valid, active, hp=hp)
 
@@ -285,6 +288,83 @@ def fused_serve_tick_multi(
             state = dataclasses.replace(state, k_cache=k2, v_cache=v2)
             p = 0
     return state, jnp.concatenate(toks, axis=1)
+
+
+def fused_serve_tick_scan(
+    params,
+    state: StreamState,
+    audio_blocks,
+    n_valid,
+    prompt_idx=None,
+    *,
+    hp: Hparams,
+    cfg: CacheConfig,
+    k: int,
+    phase: int = 0,
+):
+    """k sequential all-active fused ticks as a `lax.scan` over chunks with
+    the stream state as donated carry — the chunk-loop form of
+    fused_serve_tick_multi.
+
+    The unrolled multi program's compile-time HBM footprint grows with k*B
+    (XLA materializes per-chunk copies of the K/V slack buffers: measured
+    16.4 GB at k=4, B=512 — it OOMed a v5e at compile time and capped backlog
+    micro-batching at k=2 for B>=512). Here the tick body compiles ONCE and
+    the per-iteration phase arrives as tensor inputs (scan xs): the rel-shift
+    one-hot + window mask stacked per phase, and the K/V append offset as a
+    dynamic_update_slice start (a tiny [L,B,H,T,Dh] write — the attention
+    reads the full buffer either way, so no gathers are reintroduced).
+
+    Caller contract: phase % k == 0 and k divides cfg.n_phases (the engine's
+    trigger rule), so the slack-buffer wrap can only land after the LAST
+    chunk — compaction happens statically after the scan, never inside it.
+
+    audio_blocks: [B, k * shift_samples]; returns tokens [B, k*chunk_len, S].
+    """
+    import numpy as np
+
+    from .encoder import _phase_attn_constants, compact_cache
+
+    if cfg.n_phases % k or phase % k:
+        raise ValueError(
+            f"scan micro-batch needs k | n_phases and phase % k == 0 "
+            f"(k={k}, phase={phase}, n_phases={cfg.n_phases})")
+    b = audio_blocks.shape[0]
+    shift = cfg.shift_samples
+    chunk_len = cfg.chunk_len(hp)
+    lc = cfg.att_left_context
+    from ..ops.kvquant import kv_seq_len
+
+    s_buf = kv_seq_len(state.k_cache, 3)
+    j_l, oh_l, wh_l = [], [], []
+    for i in range(k):
+        p = phase + i
+        j_np, oh_np = _phase_attn_constants(lc, chunk_len, s_buf, p)
+        j_l.append(j_np)
+        oh_l.append(oh_np)
+        wh_l.append(p * chunk_len + lc)
+    dtype = params.pos_emb.dtype
+    xs = (
+        jnp.moveaxis(audio_blocks.reshape(b, k, shift), 1, 0),  # [k, B, shift]
+        jnp.asarray(np.stack(j_l)),                   # [k, S_buf+T] int32
+        jnp.asarray(np.stack(oh_l), dtype=dtype),     # [k, T, pos, S_buf+T]
+        jnp.asarray(wh_l, dtype=jnp.int32),           # [k] append offsets
+    )
+
+    def body(carry, xs_i):
+        block, j_i, oh_i, wh_i = xs_i
+        carry, toks = fused_serve_tick(
+            params, carry, block, n_valid, None, prompt_idx,
+            hp=hp, cfg=cfg, phase=0, phase_consts=(j_i, oh_i, wh_i),
+        )
+        return carry, toks
+
+    state, toks = jax.lax.scan(body, state, xs)
+    if phase + k == cfg.n_phases:  # wrap: move the window back to phase 0
+        k2, v2 = compact_cache(cfg, hp, state.k_cache, state.v_cache)
+        state = dataclasses.replace(state, k_cache=k2, v_cache=v2)
+    tokens = jnp.moveaxis(toks, 0, 1)  # [B, k, T, S]
+    return state, tokens.reshape(b, k * tokens.shape[2], tokens.shape[3])
 
 
 def transcribe_batch(params, mel, *, hp: Hparams, prompt_idx=None, n_frames=None,

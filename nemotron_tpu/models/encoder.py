@@ -250,6 +250,7 @@ def stream_encode_step(
     phase: int = 0,
     advance_phase: bool = True,
     active_mask=None,
+    phase_consts=None,
 ):
     """One streaming encoder chunk against a phased slack buffer.
 
@@ -278,6 +279,16 @@ def stream_encode_step(
                  phased fast path. Paused slots' windows stay at the phase
                  they were last active at; the engine realigns them on
                  resume (realign_cache).
+    phase_consts: optional (j_of_s [S_buf+T] i32, onehot [T, pos_len,
+                 S_buf+T], win_hi scalar i32) — TRACED phase constants
+                 replacing the static `phase` on the all-active fast path.
+                 Lets a lax.scan over chunks (fused_serve_tick_scan) reuse
+                 ONE compiled body across iterations at different phases:
+                 the window selection arrives as tensor inputs and the K/V
+                 append offset as a dynamic_update_slice start — no gathers
+                 (the DUS writes a tiny [L,B,H,T,Dh] block; the attention
+                 still reads the full buffer with the mask/one-hot doing the
+                 window selection).
 
     Returns (enc_out [B, chunk_len, D], k', v', conv', cache_valid').
     """
@@ -296,17 +307,30 @@ def stream_encode_step(
     # (nemo-stream.cpp:1034-1045).
     offset = lc - cache_valid  # [B]
 
+    if phase_consts is not None and (SCAN_LAYERS or not advance_phase
+                                     or active_mask is not None):
+        raise ValueError(
+            "phase_consts requires the all-active unrolled fast path")
+
     if advance_phase and not SCAN_LAYERS:
         # Unrolled fast path: static per-layer views of the stacked weights
         # and K/V buffers (no scan-xs copies), full-buffer attention with the
-        # phase's window selection as compile-time constants.
+        # phase's window selection as compile-time constants (or traced
+        # inputs under phase_consts).
         s_buf = kv_seq_len(k_cache, 3)
-        j_of_s, onehot_np = _phase_attn_constants(
-            lc, chunk_len, s_buf, phase)
-        onehot = jnp.asarray(onehot_np, dtype=x.dtype)
-        mask_full = jnp.where(
-            jnp.asarray(j_of_s)[None, :] < offset[:, None], -1e9, 0.0
-        ).astype(x.dtype)
+        if phase_consts is not None:
+            j_arr, onehot, win_hi = phase_consts
+            onehot = onehot.astype(x.dtype)
+            mask_full = jnp.where(
+                j_arr[None, :] < offset[:, None], -1e9, 0.0
+            ).astype(x.dtype)
+        else:
+            j_of_s, onehot_np = _phase_attn_constants(
+                lc, chunk_len, s_buf, phase)
+            onehot = jnp.asarray(onehot_np, dtype=x.dtype)
+            mask_full = jnp.where(
+                jnp.asarray(j_of_s)[None, :] < offset[:, None], -1e9, 0.0
+            ).astype(x.dtype)
 
         use_block = PALLAS_ATTN_BLOCK and chunk_len == 1
         kn_l, vn_l, cc_l = [], [], []

@@ -52,6 +52,15 @@ class StreamServer:
         # handlers only append PCM to the per-stream deque (GIL-atomic).
         self.diarize_params = diarize_params
         self._diar: dict[int, dict] = {}  # sid -> {pipeline, audio: deque}
+        # NME-SC finalize runs OFF the tick critical path: a worker thread
+        # clusters (host numpy + CPU-pinned eigvalsh — no device lock) while
+        # engine ticks continue; the stream's 'ended' event is held and
+        # delivered together with its result frame (_diarize_poll). The
+        # reference clusters at CLI exit where a 1+ s stall is invisible
+        # (diarize_cluster.cpp:322-406); inside a multi-stream server it
+        # would freeze every stream's 80 ms tick cadence.
+        self._diar_exec = None  # lazy ThreadPoolExecutor
+        self._diar_pending: list = []  # (sid, Future, held ended events)
         # Samples staged in _diar[sid]["audio"] awaiting the engine thread.
         # This duplicate of the engine-queued PCM is billed against the
         # admission budget too (2 bytes/sample), or a fast-pushing diarize
@@ -263,23 +272,61 @@ class StreamServer:
                     p.push_text(ev.text, at)
             for line in p.drain_json():
                 frames.append((sid, line))
-            if any(ev.stream_id == sid and ev.kind == "ended"
-                   for ev in events):
-                with DEVICE_LOCK:  # finalize embeds + clusters on device
-                    res = p.finalize()
-                for line in p.drain_json():  # finalize flushes the last word
+            held = [ev for ev in events
+                    if ev.stream_id == sid and ev.kind == "ended"]
+            if held:
+                with DEVICE_LOCK:  # tail TitaNet embeddings: device math
+                    p.finalize_embeddings()
+                for line in p.drain_json():  # flushes the last word
                     frames.append((sid, line))
+                # clustering + timeline + RTTM on the worker thread; hold
+                # the 'ended' event so the final result frame still
+                # precedes OP_ENDED on the wire (_diarize_poll re-emits it)
+                if self._diar_exec is None:
+                    import concurrent.futures
+
+                    self._diar_exec = concurrent.futures.ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="diar-cluster")
+                fut = self._diar_exec.submit(p.finalize_cluster)
+                events[:] = [ev for ev in events if ev not in held]
+                self._diar_pending.append((sid, fut, held))
+                # the event-loop disconnect handler pops concurrently — a
+                # plain del here can KeyError, and an engine-thread exception
+                # fail-stops the whole server
+                self._diar.pop(sid, None)
+        return frames, drained
+
+    def _diarize_poll(self) -> tuple[list[tuple[int, str]], list]:
+        """Collect finished off-thread clusterings (engine thread): returns
+        (result frames, the held 'ended' events to deliver after them)."""
+        frames: list[tuple[int, str]] = []
+        events: list = []
+        if not self._diar_pending:
+            return frames, events
+        still = []
+        for sid, fut, held in self._diar_pending:
+            if not fut.done():
+                still.append((sid, fut, held))
+                continue
+            try:
+                res = fut.result()
                 frames.append((sid, json.dumps({
                     "type": "result",
                     "speaker_text": res.speaker_text,
                     "rttm": res.rttm,
                     "n_speakers": res.n_speakers,
                 })))
-                # the event-loop disconnect handler pops concurrently — a
-                # plain del here can KeyError, and an engine-thread exception
-                # fail-stops the whole server
-                self._diar.pop(sid, None)
-        return frames, drained
+            except Exception:  # noqa: BLE001 — one bad stream must not
+                import traceback  # fail-stop the whole server
+
+                traceback.print_exc()
+                frames.append((sid, json.dumps({
+                    "type": "result", "error": "diarization finalize failed",
+                    "speaker_text": "", "rttm": "", "n_speakers": 0,
+                })))
+            events.extend(held)
+        self._diar_pending = still
+        return frames, events
 
     def _engine_thread(self, loop: asyncio.AbstractEventLoop,
                        out_q: asyncio.Queue) -> None:
@@ -299,6 +346,9 @@ class StreamServer:
                     diar_frames, diar_drained = (
                         self._diarize_step(events) if self._diar
                         else ([], {}))
+                    done_frames, done_events = self._diarize_poll()
+                    diar_frames.extend(done_frames)
+                    events.extend(done_events)
                     if events or consumed or diar_frames or diar_drained:
                         try:
                             loop.call_soon_threadsafe(

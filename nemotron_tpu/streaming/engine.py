@@ -48,18 +48,36 @@ READBACK_DEPTH = max(1, int(os.environ.get("NEMOTRON_TPU_READBACK_DEPTH", "2")))
 # (amortizes the per-tick tunnel round-trips). 1 disables. Real-time-paced
 # clients never stage more than one chunk, so live latency is unaffected.
 MAX_TICK_CHUNKS = max(1, int(os.environ.get("NEMOTRON_TPU_MAX_TICK_CHUNKS",
-                                            "4")))
+                                            "8")))
 
 
-def max_safe_tick_chunks(batch: int) -> int:
+def _multi_scan_enabled() -> bool:
+    """Chunk-loop (lax.scan) k-chunk program — see asr.fused_serve_tick_scan.
+    Read at call time so tests/bench variants can toggle per-process."""
+    return os.environ.get("NEMOTRON_TPU_MULTI_SCAN", "1") == "1"
+
+
+def max_safe_tick_chunks(batch: int, n_phases: int = 8) -> int:
     """Clamp the backlog micro-batch depth to what actually compiles.
 
-    The k-chunk fused program's compile-time HBM footprint grows with k*B
-    (XLA materializes per-chunk copies of the K/V slack buffers inside the
-    multi-chunk program): measured k=4 at B=512 needs 16.4 GB and OOMs a v5e
-    at compile time, while k=2 fits up to B=768. A server at --batch 512 with
-    backlogged clients must not dispatch a program that cannot compile."""
+    Default (chunk-loop scan program): the tick body compiles ONCE regardless
+    of k, so no batch clamp applies — k is only clamped to the largest
+    divisor of n_phases (the scan's phase-trigger contract: k-chunk ticks
+    dispatch at phases where phase % k == 0, so the slack-buffer wrap always
+    lands after the last chunk and compaction stays static).
+
+    Legacy unrolled program (NEMOTRON_TPU_MULTI_SCAN=0): the compile-time HBM
+    footprint grows with k*B (XLA materializes per-chunk copies of the K/V
+    slack buffers inside the multi-chunk program): measured k=4 at B=512
+    needs 16.4 GB and OOMs a v5e at compile time, while k=2 fits up to
+    B=768. A server at --batch 512 with backlogged clients must not dispatch
+    a program that cannot compile."""
     k = MAX_TICK_CHUNKS
+    if _multi_scan_enabled():
+        k = min(k, n_phases)
+        while n_phases % k:
+            k -= 1
+        return max(1, k)
     if batch >= 512:
         k = min(k, 2)
     elif batch >= 256:
@@ -269,7 +287,7 @@ class EngineGroup:
         b = self.batch
         cfg = self.cfg
         use_realign = GATED_REALIGN and not PHASE_TIMERS
-        k_cap = max_safe_tick_chunks(b)
+        k_cap = max_safe_tick_chunks(b, cfg.n_phases)
         mask_half = np.zeros(b, dtype=bool)
         mask_half[: max(1, b // 2)] = True
         _t0 = _time.time()
@@ -305,7 +323,14 @@ class EngineGroup:
                 _mark("profiled tick phase=0 masked")
             else:
                 for k in {1, k_cap}:
-                    for phase in range(cfg.n_phases):
+                    # k-chunk scan ticks dispatch only at phases where
+                    # phase % k == 0 (see max_safe_tick_chunks) — prewarm
+                    # exactly those variants (n_phases/k programs, not
+                    # n_phases)
+                    phases = (range(0, cfg.n_phases, k)
+                              if k > 1 and _multi_scan_enabled()
+                              else range(cfg.n_phases))
+                    for phase in phases:
                         packed = self.model.pack_tick_inputs(
                             np.zeros((b, k * cfg.shift_samples), np.int16),
                             np.full(b, cfg.valid_out_len, np.int16),
@@ -849,9 +874,15 @@ class EngineGroup:
         # audio per tunnel round-trip. Paced real-time clients never trigger
         # this (they stage exactly one chunk per interval).
         k = 1
-        k_cap = max_safe_tick_chunks(b)
+        k_cap = max_safe_tick_chunks(b, cfg.n_phases)
         if (k_cap > 1 and not PHASE_TIMERS and not fin_nv
-                and not ended_now and bool(ready.all())):
+                and not ended_now and bool(ready.all())
+                # scan-program trigger contract: k-chunk ticks start only at
+                # phases divisible by k (the wrap then lands after the last
+                # chunk; also bounds prewarm to n_phases/k variants). At most
+                # k-1 single ticks before a backlogged group locks onto the
+                # k-path, which keeps phase % k == 0 thereafter.
+                and (not _multi_scan_enabled() or self.phase % k_cap == 0)):
             min_chunks = min(s.staged // shift for s in self.slots)
             if min_chunks >= k_cap:
                 k = k_cap

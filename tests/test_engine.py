@@ -377,6 +377,59 @@ def test_engine_backlog_multichunk_matches_sessions():
         assert texts[sid] == want[i], f"stream {i}: {texts[sid]!r} != {want[i]!r}"
 
 
+def test_scan_multichunk_matches_sequential_ticks():
+    """The chunk-loop (lax.scan) k-chunk program must be numerically
+    identical to k sequential single ticks, including a mid-cycle start
+    (phase=n_phases-k) where the slack-buffer wrap lands after the last
+    chunk and compaction runs post-scan."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nemotron_tpu.models import asr as asr_mod
+    from nemotron_tpu.models.encoder import compact_cache
+
+    model, hp = build_model()
+    cfg = model.cache_config(0)
+    B, shift = 2, cfg.shift_samples
+    n_valid = jnp.full((B,), cfg.valid_out_len, jnp.int32)
+    rng = np.random.default_rng(0)
+
+    for k, phase0 in [(4, 0), (4, cfg.n_phases - 4), (cfg.n_phases, 0)]:
+        audio = (rng.standard_normal((B, k * shift)) * 3000).astype(np.int16)
+        state0 = model.init_stream_state(B, cfg)
+
+        seq_state, p = state0, phase0
+        toks_seq = []
+        for i in range(k):
+            seq_state, t = asr_mod.fused_serve_tick(
+                model.params, seq_state,
+                jnp.asarray(audio[:, i * shift : (i + 1) * shift]),
+                n_valid, None, None, hp=hp, cfg=cfg, phase=p)
+            toks_seq.append(np.asarray(t))
+            p += 1
+            if p == cfg.n_phases:
+                k2, v2 = compact_cache(cfg, hp, seq_state.k_cache,
+                                       seq_state.v_cache)
+                seq_state = dataclasses.replace(seq_state, k_cache=k2,
+                                                v_cache=v2)
+                p = 0
+
+        scan_state, toks = asr_mod.fused_serve_tick_scan(
+            model.params, model.init_stream_state(B, cfg),
+            jnp.asarray(audio), n_valid, None, hp=hp, cfg=cfg, k=k,
+            phase=phase0)
+
+        np.testing.assert_array_equal(
+            np.asarray(toks), np.concatenate(toks_seq, axis=1),
+            err_msg=f"tokens diverge at k={k} phase0={phase0}")
+        for a, b in zip(jax.tree.leaves(scan_state),
+                        jax.tree.leaves(seq_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-5)
+
+
 def test_engine_new_group_during_tick_iteration():
     """start_stream (event-loop thread) may insert a new latency group while
     the engine thread iterates groups in tick(); iterating the live dict
@@ -401,13 +454,20 @@ def test_engine_new_group_during_tick_iteration():
     assert injected and 1 in engine.groups
 
 
-def test_engine_max_safe_tick_chunks_cap():
-    """The k-chunk fused program OOMs at compile time for k=4 at B>=512
-    (16.4 GB); the effective micro-batch depth must be capped by batch."""
+def test_engine_max_safe_tick_chunks_cap(monkeypatch):
+    """Scan mode (default): no batch clamp, k clamped to the largest divisor
+    of n_phases. Legacy unrolled mode: the k-chunk program OOMs at compile
+    time for k=4 at B>=512 (16.4 GB), so the depth is capped by batch."""
     import nemotron_tpu.streaming.engine as eng
 
-    assert eng.MAX_TICK_CHUNKS == 4  # default under test
-    assert eng.max_safe_tick_chunks(64) == 4
+    assert eng.MAX_TICK_CHUNKS == 8  # default under test
+    assert eng.max_safe_tick_chunks(768, n_phases=8) == 8
+    assert eng.max_safe_tick_chunks(64, n_phases=8) == 8
+    assert eng.max_safe_tick_chunks(768, n_phases=6) == 6
+    assert eng.max_safe_tick_chunks(768, n_phases=5) == 5
+
+    monkeypatch.setenv("NEMOTRON_TPU_MULTI_SCAN", "0")
+    assert eng.max_safe_tick_chunks(64) == 8
     assert eng.max_safe_tick_chunks(256) == 4
     assert eng.max_safe_tick_chunks(512) == 2
     assert eng.max_safe_tick_chunks(768) == 2
@@ -416,11 +476,11 @@ def test_engine_max_safe_tick_chunks_cap():
 
 def test_engine_backlog_respects_batch_cap(monkeypatch):
     """A fully-backlogged group must dispatch at most max_safe_tick_chunks(B)
-    chunks per step, not MAX_TICK_CHUNKS. (Simulates the B>=512 clamp on a
-    tiny batch by forcing the cap to 2 while the env default stays 4.)"""
+    chunks per step, not MAX_TICK_CHUNKS. (Simulates the legacy B>=512 clamp
+    on a tiny batch by forcing the cap to 2.)"""
     import nemotron_tpu.streaming.engine as eng
 
-    monkeypatch.setattr(eng, "max_safe_tick_chunks", lambda b: 2)
+    monkeypatch.setattr(eng, "max_safe_tick_chunks", lambda b, n_phases=8: 2)
     model, hp = build_model()
     audios = {i: make_audio(16000, seed=40 + i) for i in range(2)}
 

@@ -140,6 +140,111 @@ def test_plain_and_diarize_streams_multiplex(diarize_params):
     assert {sid for sid, _ in diar_frames} == {sid_d}
 
 
+def test_slow_finalize_does_not_stall_other_streams(diarize_params,
+                                                    monkeypatch):
+    """NME-SC finalize runs off the engine thread (VERDICT r4 item 3): a
+    diarized stream ending must not freeze other streams' ticks while it
+    clusters (the real sweep takes 1+ s at N=512). Simulated with an
+    artificially slow finalize_cluster; a concurrently-paced plain stream's
+    text events must keep arriving during the stall window, and the result
+    frame must still precede the diarized stream's OP_ENDED."""
+    import time
+
+    from nemotron_tpu.diarize.pipeline import DiarizePipeline
+
+    model = build_model()
+    a_diar = make_audio(16000, seed=5)
+    a_live = make_audio(16000, seed=6)  # cycled by the pusher
+
+    cluster_sleep = 2.0
+    marks = {"cluster_start": None}
+    orig = DiarizePipeline.finalize_cluster
+
+    def slow(self):
+        marks["cluster_start"] = time.monotonic()
+        time.sleep(cluster_sleep)
+        return orig(self)
+
+    monkeypatch.setattr(DiarizePipeline, "finalize_cluster", slow)
+
+    async def run():
+        srv, server, port = await start_test_server(model, diarize_params)
+        try:
+            client = await StreamClient.connect("127.0.0.1", port)
+            sid_d = await client.start_stream(diarize=True)
+            sid_l = await client.start_stream()
+            await client.push(sid_d, a_diar)
+
+            arrivals = {"result": None, "ended_d": None}
+            group = srv.engine.groups[0]
+            samples: list[tuple[float, int]] = []  # (t, engine steps)
+
+            async def sampler():
+                while arrivals["ended_d"] is None:
+                    samples.append((time.monotonic(), group.total_steps))
+                    await asyncio.sleep(0.03)
+
+            async def end_diar():
+                # end the diarized stream only after every per-phase tick
+                # variant has compiled (>= n_phases masked steps + the wrap
+                # compaction) — a compile stall inside the clustering window
+                # would otherwise fail the liveness assertion spuriously
+                while group.total_steps < 12:
+                    await asyncio.sleep(0.05)
+                await client.send(P.OP_STREAM_END, sid_d)
+
+            async def pusher():
+                # keep the live stream fed until the diarize result lands,
+                # so engine ticks have work across the clustering window
+                off = 0
+                deadline = time.monotonic() + 110
+                while (arrivals["result"] is None
+                       and time.monotonic() < deadline):
+                    await client.push(sid_l, a_live[off : off + 1600])
+                    off = (off + 1600) % len(a_live)
+                    await asyncio.sleep(0.05)
+                await client.send(P.OP_STREAM_END, sid_l)
+
+            async def receiver():
+                ended = set()
+                while len(ended) < 2:
+                    opcode, rsid, payload = await asyncio.wait_for(
+                        client.recv(), timeout=120)
+                    now = time.monotonic()
+                    if opcode == P.OP_DIARIZE:
+                        if json.loads(payload).get("type") == "result":
+                            arrivals["result"] = now
+                    elif opcode == P.OP_ENDED:
+                        ended.add(rsid)
+                        if rsid == sid_d:
+                            arrivals["ended_d"] = now
+
+            task = asyncio.ensure_future(sampler())
+            await asyncio.gather(end_diar(), pusher(), receiver())
+            task.cancel()
+            client.close()
+            return arrivals, samples
+        finally:
+            server.close()
+
+    arrivals, samples = asyncio.run(run())
+    assert arrivals["result"] is not None and arrivals["ended_d"] is not None
+    # ordering: the diarize result frame precedes the stream's OP_ENDED
+    assert arrivals["result"] <= arrivals["ended_d"]
+    # liveness: the engine kept STEPPING the live stream inside the
+    # clustering window (the old on-thread finalize froze ticks for the
+    # whole cluster duration — steps would be flat until the result)
+    t0 = marks["cluster_start"]
+    assert t0 is not None
+    window = [s for t, s in samples
+              if t0 + 0.2 <= t <= t0 + cluster_sleep - 0.1]
+    assert len(window) >= 10, f"sampler starved: {len(window)} samples"
+    advanced = max(window) - min(window)
+    assert advanced >= 2, (
+        f"engine advanced only {advanced} steps during the "
+        f"{cluster_sleep}s clustering window — finalize stalled ticks")
+
+
 def test_diarize_without_server_model_is_an_error():
     model = build_model()
 
