@@ -61,6 +61,12 @@ class StreamServer:
         # would freeze every stream's 80 ms tick cadence.
         self._diar_exec = None  # lazy ThreadPoolExecutor
         self._diar_pending: list = []  # (sid, Future, held ended events)
+        # Hot model swap (see hot_swap): while a swap is in flight the event
+        # loop parks stream-mutating opcodes on this gate so no PUSH can
+        # land between a slot's export from the old engine and the moment
+        # self.engine points at the new one.
+        self._swap_gate: asyncio.Event | None = None
+        self._pending_swap: tuple | None = None  # (new_model, Future)
         # Samples staged in _diar[sid]["audio"] awaiting the engine thread.
         # This duplicate of the engine-queued PCM is billed against the
         # admission budget too (2 bytes/sample), or a fast-pushing diarize
@@ -107,6 +113,11 @@ class StreamServer:
 
     async def _dispatch(self, writer, opcode: int, stream_id: int,
                         payload: bytes) -> None:
+        if self._swap_gate is not None and opcode in (
+                P.OP_STREAM_START, P.OP_PUSH, P.OP_STREAM_END, P.OP_SET_LANG):
+            # hot swap in flight: park stream mutations until the new engine
+            # owns every migrated slot (clients just see delayed ACKs)
+            await self._swap_gate.wait()
         if opcode == P.OP_STREAM_START:
             cfg = {}
             if payload:
@@ -328,6 +339,105 @@ class StreamServer:
         self._diar_pending = still
         return frames, events
 
+    # ------------------------------------------------------------------
+    async def hot_swap(self, new_model) -> int:
+        """Replace the serving model under live streams (beyond reference —
+        the reference cannot even serialize a live stream, SURVEY §5.4).
+
+        Every in-flight stream is exported from the current engine and
+        imported into a fresh BatchedEngine built on `new_model`, KEEPING its
+        stream id; transcripts continue seamlessly (bit-identical when the
+        weights are identical; under genuinely new weights the carried K/V
+        caches were computed by the old model — a deliberate operator
+        trade). Stream-mutating opcodes are parked on a gate for the swap's
+        duration, so no audio is lost. Returns the number of migrated
+        streams. Compiles on the new engine happen lazily on its first ticks
+        (prewarm the .jax_cache beforehand for a stall-free swap)."""
+        if self.engine.source is not None:
+            raise NotImplementedError(
+                "hot swap is not supported on native-ingest engines")
+        if self._swap_gate is not None:
+            raise RuntimeError("a hot swap is already in progress")
+        import concurrent.futures
+
+        self._swap_gate = asyncio.Event()
+        fut: concurrent.futures.Future = concurrent.futures.Future()
+        self._pending_swap = (new_model, fut)
+        self.wake.set()
+        try:
+            return await asyncio.wrap_future(fut)
+        finally:
+            gate, self._swap_gate = self._swap_gate, None
+            gate.set()  # release parked dispatches
+
+    def _maybe_swap(self, loop, out_q) -> None:
+        """Engine thread: perform a queued hot swap between ticks."""
+        swap = self._pending_swap
+        if swap is None:
+            return
+        self._pending_swap = None
+        new_model, fut = swap
+        try:
+            fut.set_result(self._do_swap(new_model, loop, out_q))
+        except BaseException as e:  # surfaced to the hot_swap caller
+            fut.set_exception(e)
+
+    def _do_swap(self, new_model, loop, out_q) -> int:
+        """Export every live stream from the current engine, import into a
+        fresh engine on new_model (same ids), swap the engine attribute.
+        Runs on the engine thread — the process's single device thread."""
+        from ..streaming.engine import BatchedEngine
+
+        old = self.engine
+        new = BatchedEngine(new_model, old.batch)
+
+        def post(events):
+            if not events:
+                return
+            diar = self._diarize_step(events) if self._diar else ([], {})
+            try:
+                loop.call_soon_threadsafe(
+                    out_q.put_nowait,
+                    (events, old.drain_consumed(), diar[0], diar[1]))
+            except RuntimeError:
+                pass  # loop closed: shutting down
+
+        snaps: dict[int, dict] = {}
+        # streams mid-finalize cannot export — tick the old engine until
+        # they end; everything else exports (the export tick drains each
+        # stream's in-flight readbacks into deliverable text events)
+        for _ in range(200):
+            sids = [sid for sid in list(old._route) if sid not in snaps]
+            futs = {}
+            for sid in sids:
+                try:
+                    futs[sid] = old.request_export(sid)
+                except KeyError:
+                    continue  # ended concurrently
+            events, more = old.tick()
+            post(events)
+            for sid, f in futs.items():
+                if f.done() and f.exception() is None:
+                    snaps[sid] = f.result()
+            if not old._route and not more:
+                break
+        else:
+            raise RuntimeError("hot swap: old engine did not drain")
+
+        im_futs = {sid: new.request_import(snap, stream_id=sid,
+                                           trust_model=True)
+                   for sid, snap in snaps.items()}
+        for _ in range(200):
+            if all(f.done() for f in im_futs.values()):
+                break
+            events, _more = new.tick()
+            post(events)
+        for sid, f in im_futs.items():
+            got = f.result()  # raises on a failed install
+            assert got == sid, f"import renumbered stream {sid} -> {got}"
+        self.engine = new
+        return len(snaps)
+
     def _engine_thread(self, loop: asyncio.AbstractEventLoop,
                        out_q: asyncio.Queue) -> None:
         """Tick loop on a dedicated thread: runs back-to-back ticks while work
@@ -341,6 +451,7 @@ class StreamServer:
                 self.wake.clear()
                 more = True
                 while more and not self._stop:
+                    self._maybe_swap(loop, out_q)
                     events, more = self.engine.tick()
                     consumed = self.engine.drain_consumed()
                     diar_frames, diar_drained = (

@@ -136,6 +136,8 @@ class _Pending:
     stream_ids: object = None
     slot_idx: int = -1
     stream_id: int = -1
+    t_dispatch: float = 0.0  # perf_counter at dispatch (latency histogram)
+    k: int = 1               # chunks this step advanced (latency per chunk)
 
 
 @dataclasses.dataclass
@@ -270,6 +272,13 @@ class EngineGroup:
         self.total_decoder_seconds = 0.0   # PHASE_TIMERS mode only
         self.total_audio_seconds = 0.0
         self.total_chunks = 0
+        # per-step emit latency: dispatch -> token scatter (device execution
+        # + pipelined readback lag + tunnel RTT) — the engine half of the
+        # BASELINE "p50 per-chunk latency" metric (the client half is
+        # scripts/bench_serving.py --realtime). Bounded ring; stats()
+        # reports p50/p90/p99 in ms.
+        self.emit_latencies: collections.deque[float] = collections.deque(
+            maxlen=4096)
 
     def prewarm(self) -> None:
         """Compile every tick variant before serving (the reference pre-builds
@@ -434,11 +443,12 @@ class EngineGroup:
             self._pending_exports.append((stream_id, fut))
         return fut
 
-    def queue_import(self, snapshot: dict,
-                     stream_id: int) -> concurrent.futures.Future:
+    def queue_import(self, snapshot: dict, stream_id: int,
+                     trust_model: bool = False) -> concurrent.futures.Future:
         fut: concurrent.futures.Future = concurrent.futures.Future()
         with self._lock:
-            self._pending_imports.append((snapshot, stream_id, fut))
+            self._pending_imports.append((snapshot, stream_id, trust_model,
+                                          fut))
         return fut
 
     def _apply_pending_migrations(self) -> list[Event]:
@@ -461,7 +471,7 @@ class EngineGroup:
                 "engines")
             for _sid, fut in exports:
                 fut.set_exception(err)
-            for _snap, _sid, fut in imports:
+            for _snap, _sid, _trust, fut in imports:
                 fut.set_exception(err)
             return []
         events: list[Event] = []
@@ -473,9 +483,9 @@ class EngineGroup:
                 fut.set_result(self._export_slot(sid))
             except Exception as e:  # noqa: BLE001 — surfaced via the Future
                 fut.set_exception(e)
-        for snap, sid, fut in imports:
+        for snap, sid, trust, fut in imports:
             try:
-                fut.set_result(self._import_slot(snap, sid))
+                fut.set_result(self._import_slot(snap, sid, trust))
             except Exception as e:  # noqa: BLE001
                 fut.set_exception(e)
         return events
@@ -519,7 +529,8 @@ class EngineGroup:
         self.release(idx)
         return snap
 
-    def _import_slot(self, snap: dict, stream_id: int) -> int:
+    def _import_slot(self, snap: dict, stream_id: int,
+                     trust_model: bool = False) -> int:
         """Install a snapshot into a free slot; returns the slot index.
 
         The slot's K/V window is realigned from the snapshot's slack-buffer
@@ -537,7 +548,8 @@ class EngineGroup:
         if bool(snap["kv_int8"]) != bool(is_quant(self.state.k_cache)):
             raise ValueError("snapshot kv-int8 mode differs from this group")
         fp = snap.get("model_fp")
-        if fp is not None and fp != self.model.weights_fingerprint:
+        if (not trust_model and fp is not None
+                and fp != self.model.weights_fingerprint):
             raise ValueError(
                 "snapshot model fingerprint differs from this engine's "
                 "weights (same shapes, different checkpoint/vocab — "
@@ -766,7 +778,10 @@ class EngineGroup:
                 self.total_transfer_seconds += time.perf_counter() - t0
             t_sc = time.perf_counter()
             events.extend(self._process_pending(head))
-            self.total_scatter_seconds += time.perf_counter() - t_sc
+            now = time.perf_counter()
+            self.total_scatter_seconds += now - t_sc
+            if head.t_dispatch:
+                self.emit_latencies.append(now - head.t_dispatch)
         return events
 
     def _process_pending(self, pending: _Pending) -> list[Event]:
@@ -1042,6 +1057,7 @@ class EngineGroup:
                 kind="tokens", tokens_dev=tokens, active=active,
                 n_valid=n_valid, finalizing=finalizing,
                 frame_base=frame_base, stream_ids=stream_ids,
+                t_dispatch=time.perf_counter(), k=k,
             ))
             for i, sid in ended_now:
                 # FIFO sentinel: "ended" (and the slot release) must not
@@ -1198,11 +1214,19 @@ class BatchedEngine:
         fut.add_done_callback(_done)
         return fut
 
-    def request_import(self, snapshot: dict) -> concurrent.futures.Future:
+    def request_import(self, snapshot: dict, stream_id: int | None = None,
+                       trust_model: bool = False) -> concurrent.futures.Future:
         """Queue a snapshot for adoption. The returned Future resolves to the
-        NEW stream id once the tick thread has installed the slot (the K/V
+        stream id once the tick thread has installed the slot (the K/V
         window is realigned to this engine's slack-buffer phase, so the two
-        engines need not be at the same point of their compaction cycle)."""
+        engines need not be at the same point of their compaction cycle).
+
+        stream_id: keep this id instead of allocating a fresh one (hot model
+        swap — the wire protocol pins ids, so a migrated stream must keep
+        its id on the replacement engine). The id counter skips past it.
+        trust_model: skip the snapshot's model-fingerprint check — ONLY for
+        deliberate operator actions (hot swap to a new checkpoint installs
+        old-model caches under new weights by design)."""
         rc = int(snapshot["right_context"])
         group = self.groups.get(rc)
         if group is None:
@@ -1213,8 +1237,13 @@ class BatchedEngine:
                         self.model, self.model.cache_config(rc), self.batch,
                         source=self.source)
                     self.groups[rc] = group
-        stream_id = next(self._ids)
-        slot_fut = group.queue_import(snapshot, stream_id)
+        if stream_id is None:
+            stream_id = next(self._ids)
+        else:
+            nxt = next(self._ids)
+            if stream_id >= nxt:
+                self._ids = itertools.count(stream_id + 1)
+        slot_fut = group.queue_import(snapshot, stream_id, trust_model)
         out: concurrent.futures.Future = concurrent.futures.Future()
 
         def _done(f: concurrent.futures.Future) -> None:
@@ -1256,6 +1285,13 @@ class BatchedEngine:
                 "dispatch_seconds": round(g.total_dispatch_seconds, 3),
                 "rtf": round(rtf, 5),
             }
+            if g.emit_latencies:
+                lat = np.asarray(g.emit_latencies) * 1e3
+                p50, p90, p99 = np.percentile(lat, (50, 90, 99))
+                out["groups"][rc]["emit_latency_ms"] = {
+                    "p50": round(float(p50), 1), "p90": round(float(p90), 1),
+                    "p99": round(float(p99), 1), "n": int(lat.size),
+                }
             if PHASE_TIMERS:
                 out["groups"][rc]["encoder_seconds"] = round(
                     g.total_encoder_seconds, 3)

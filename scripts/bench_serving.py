@@ -67,7 +67,8 @@ def worker_sync_main(args) -> int:
 
     class C:
         __slots__ = ("sock", "sid", "sendbuf", "sent", "rbuf", "texts",
-                     "t0", "t_started", "t_pushed", "t_ended", "audio")
+                     "t0", "t_started", "t_pushed", "t_ended", "audio",
+                     "frames", "next_push", "t_last_push", "end_sent")
 
     # phase 1: synthesize every stream's audio (outside the timed window)
     audios = [make_audio(args.seed_base + i, n_samp).tobytes()
@@ -87,6 +88,10 @@ def worker_sync_main(args) -> int:
         c.texts = []
         c.t0 = time.time()
         c.t_started = c.t_pushed = c.t_ended = 0.0
+        c.frames = None
+        c.next_push = 0
+        c.t_last_push = 0.0
+        c.end_sent = False
         c.sock = socket.create_connection((host, port))
         c.sock.setblocking(False)
         c.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
@@ -103,7 +108,12 @@ def worker_sync_main(args) -> int:
             parts.append(HEADER.pack(OP_PUSH, c.sid, len(pl)))
             parts.append(pl)
         parts.append(HEADER.pack(OP_STREAM_END, c.sid, 0))
+        if args.realtime:  # paced mode sends frame-by-frame on a schedule
+            c.frames = [parts[i] + parts[i + 1]
+                        for i in range(0, len(parts) - 1, 2)] + [parts[-1]]
         return b"".join(parts)
+
+    lats: list[float] = []  # realtime mode: per-TEXT latency seconds
 
     def on_frames(c: C) -> None:
         buf = c.rbuf
@@ -120,6 +130,13 @@ def worker_sync_main(args) -> int:
                 c.sendbuf = memoryview(build_sendbuf(c))
             elif op == OP_TEXT and sid == c.sid:
                 c.texts.append(payload)
+                if args.realtime and c.t_last_push:
+                    # per-chunk text latency: receipt minus the most recent
+                    # completed push for this stream. Exact while the server
+                    # keeps up (text for chunk j lands before push j+1);
+                    # under backlog it UNDER-states — the sustained-stream
+                    # count alongside it says whether the pace held.
+                    lats.append(time.time() - c.t_last_push)
             elif op == OP_ENDED and sid == c.sid:
                 if payload:
                     c.texts.append(payload)
@@ -154,6 +171,74 @@ def worker_sync_main(args) -> int:
                       round(time.time() - t_admit0, 3)}), flush=True)
     if sys.stdin.readline().strip() != "GO":
         raise RuntimeError("parent closed stdin before GO")
+
+    # phase 4 (realtime mode): paced pushes — every client sends chunk j at
+    # start + j*chunk_s, mimicking live microphones; per-TEXT latency is
+    # recorded in on_frames. The firehose mode below measures throughput;
+    # this mode measures the BASELINE "p50 per-chunk latency" under a load
+    # the server is expected to sustain.
+    if args.realtime:
+        chunk_s = args.chunk_ms / 1000.0
+        start = time.time()
+
+        def send_frame(c: C, frame) -> None:
+            mv, sent = memoryview(frame), 0
+            while sent < len(mv):
+                try:
+                    sent += c.sock.send(mv[sent:])
+                except (BlockingIOError, InterruptedError):
+                    time.sleep(0.001)  # tiny frames; kernel buffer recovers
+
+        n_done = 0
+        while n_done < len(clients):
+            now = time.time()
+            next_due = start + 86400.0
+            for c in clients:
+                if c.t_ended:
+                    continue
+                due = start + c.next_push * chunk_s
+                while c.next_push < len(c.frames) - 1 and due <= now:
+                    send_frame(c, c.frames[c.next_push])
+                    c.next_push += 1
+                    c.t_last_push = time.time()
+                    due = start + c.next_push * chunk_s
+                if c.next_push >= len(c.frames) - 1:
+                    if not c.end_sent:
+                        send_frame(c, c.frames[-1])
+                        c.end_sent = True
+                        c.t_pushed = time.time()
+                else:
+                    next_due = min(next_due, due)
+            timeout = max(0.0, min(next_due - time.time(), 0.02))
+            for key, ev in sel.select(timeout=timeout):
+                c = key.data
+                try:
+                    data = c.sock.recv(1 << 18)
+                except (BlockingIOError, InterruptedError):
+                    data = None
+                if data:
+                    c.rbuf += data
+                    was_open = c.t_ended == 0.0
+                    on_frames(c)
+                    if was_open and c.t_ended:
+                        n_done += 1
+                elif data == b"":
+                    raise RuntimeError(
+                        "server closed the connection before ENDED")
+        end = time.time()
+        if len(lats) > 20000:  # bound the result JSON; uniform subsample
+            lats = lats[:: len(lats) // 20000 + 1]
+        print(json.dumps({
+            "start": start, "end": end,
+            "audio": args.streams * args.secs,
+            "ok": sum(1 for c in clients if c.texts),
+            "t_conn0": min(c.t0 for c in clients),
+            "t_started_max": max(c.t_started for c in clients),
+            "t_pushed_max": max(c.t_pushed for c in clients),
+            "t_ended_max": max(c.t_ended for c in clients),
+            "lat_ms": [round(x * 1e3, 1) for x in lats],
+        }), flush=True)
+        return 0
 
     # phase 4: the timed window — push everything, collect text, drain ENDs
     start = time.time()
@@ -201,7 +286,8 @@ def worker_sync_main(args) -> int:
 
 # ---------------------------------------------------------------- parent mode
 async def _run_pass(procs: int, streams: int, secs: float, chunk_ms: int,
-                    port: int, seed_base: int, label: str):
+                    port: int, seed_base: int, label: str,
+                    realtime: bool = False):
     import os
 
     # workers never touch JAX — strip PYTHONPATH so the TPU plugin's
@@ -216,11 +302,13 @@ async def _run_pass(procs: int, streams: int, secs: float, chunk_ms: int,
     for k in per:
         if k == 0:
             continue
+        argv = [sys.executable, __file__, "--worker", f"127.0.0.1:{port}",
+                "--streams", str(k), "--secs", str(secs),
+                "--chunk-ms", str(chunk_ms), "--seed-base", str(base)]
+        if realtime:
+            argv.append("--realtime")
         subs.append(await asyncio.create_subprocess_exec(
-            sys.executable, __file__, "--worker", f"127.0.0.1:{port}",
-            "--streams", str(k), "--secs", str(secs),
-            "--chunk-ms", str(chunk_ms), "--seed-base", str(base),
-            stdin=asyncio.subprocess.PIPE,
+            *argv, stdin=asyncio.subprocess.PIPE,
             stdout=asyncio.subprocess.PIPE, env=env))
         base += k
     t_spawned = time.time()
@@ -248,12 +336,23 @@ async def _run_pass(procs: int, streams: int, secs: float, chunk_ms: int,
           file=sys.stderr)
     print(f"[{label}] {audio:.0f} audio-sec in {wall:.1f}s serving wall "
           f"({ok}/{streams} streams with text)", file=sys.stderr)
-    return audio, wall, ok
+    lats: list[float] = []
+    for s in stats:
+        lats.extend(s.get("lat_ms", ()))
+    if lats:
+        import numpy as _np
+
+        p50, p90, p99 = _np.percentile(_np.asarray(lats), (50, 90, 99))
+        print(f"[{label}] per-chunk text latency (n={len(lats)}): "
+              f"p50={p50:.0f} ms  p90={p90:.0f} ms  p99={p99:.0f} ms",
+              file=sys.stderr)
+    return audio, wall, ok, lats
 
 
 async def run_native(n_streams: int, secs: float, batch: int, chunk_ms: int,
                      procs: int, mem_budget: int,
-                     attach: str | None = None) -> int:
+                     attach: str | None = None,
+                     realtime: bool = False) -> int:
     """Native-ingest variant: the server runs as a SUBPROCESS with the C++
     epoll ingest (python -m nemotron_tpu.serving.server --native). The bench
     parent holds no JAX at all; clients are worker subprocesses as before.
@@ -267,19 +366,31 @@ async def run_native(n_streams: int, secs: float, batch: int, chunk_ms: int,
         _, _, p = attach.rpartition(":")
         port = int(p)
         await _run_pass(procs, n_streams, 4.0, chunk_ms, port, 10_000,
-                        "warmup")
-        audio, wall, ok = await _run_pass(
-            procs, n_streams, secs, chunk_ms, port, 20_000, "timed")
+                        "warmup", realtime=realtime)
+        audio, wall, ok, lats = await _run_pass(
+            procs, n_streams, secs, chunk_ms, port, 20_000, "timed",
+            realtime=realtime)
         rt = audio / wall
         print(f"\nend-to-end throughput (native ingest, attached): {rt:.0f} "
               f"real-time streams ({ok}/{n_streams} streams with text)",
               file=sys.stderr)
-        print(json.dumps({
-            "metric": "e2e_serving_realtime_streams",
-            "value": round(rt, 1),
-            "unit": "streams/chip",
-            "vs_baseline": round(rt / 15.6, 2),
-        }))
+        if lats:
+            import numpy as _np
+
+            p50, p90, p99 = _np.percentile(_np.asarray(lats), (50, 90, 99))
+            print(json.dumps({
+                "metric": "e2e_chunk_text_latency_ms",
+                "value": round(float(p50), 1), "unit": "ms (p50)",
+                "p90": round(float(p90), 1), "p99": round(float(p99), 1),
+                "sustained_streams": n_streams, "ok": ok,
+            }))
+        else:
+            print(json.dumps({
+                "metric": "e2e_serving_realtime_streams",
+                "value": round(rt, 1),
+                "unit": "streams/chip",
+                "vs_baseline": round(rt / 15.6, 2),
+            }))
         return 0
 
     s = _socket.socket()
@@ -314,9 +425,10 @@ async def run_native(n_streams: int, secs: float, batch: int, chunk_ms: int,
 
         pump_task = asyncio.create_task(pump())
         await _run_pass(procs, n_streams, 4.0, chunk_ms, port, 10_000,
-                        "warmup")
-        audio, wall, ok = await _run_pass(
-            procs, n_streams, secs, chunk_ms, port, 20_000, "timed")
+                        "warmup", realtime=realtime)
+        audio, wall, ok, _lats = await _run_pass(
+            procs, n_streams, secs, chunk_ms, port, 20_000, "timed",
+            realtime=realtime)
         pump_task.cancel()
         rt = audio / wall
         print(f"\nend-to-end throughput (native ingest): {rt:.0f} real-time "
@@ -370,10 +482,11 @@ async def run(n_streams: int, secs: float, batch: int, chunk_ms: int,
     # minutes through the tunnel; timing them would measure the compiler)
     await _run_pass(procs, n_streams, 4.0, chunk_ms, port, 10_000, "warmup")
 
+
     import copy
 
     stats0 = copy.deepcopy(srv.engine.stats())
-    audio, wall, ok = await _run_pass(
+    audio, wall, ok, _lats = await _run_pass(
         procs, n_streams, secs, chunk_ms, port, 20_000, "timed")
     stats1 = srv.engine.stats()
     for rc, g1 in stats1["groups"].items():
@@ -427,13 +540,19 @@ def main() -> int:
     ap.add_argument("--worker", default=None,
                     help="internal: run as a client worker against HOST:PORT")
     ap.add_argument("--seed-base", type=int, default=0)
+    ap.add_argument("--realtime", action="store_true",
+                    help="pace every client at 1x real time (one chunk per "
+                         "chunk-ms wall clock) and measure per-chunk text "
+                         "latency percentiles — the BASELINE 'p50 per-chunk "
+                         "latency' metric — instead of firehose throughput")
     args = ap.parse_args()
     if args.worker:
         return worker_sync_main(args)
     if args.native or args.attach:
         return asyncio.run(run_native(args.streams, args.secs, args.batch,
                                       args.chunk_ms, args.procs,
-                                      args.mem_budget, args.attach))
+                                      args.mem_budget, args.attach,
+                                      args.realtime))
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     return asyncio.run(run(args.streams, args.secs, args.batch, args.chunk_ms,
                            args.procs, args.mem_budget))
