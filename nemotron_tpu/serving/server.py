@@ -436,6 +436,13 @@ class StreamServer:
             got = f.result()  # raises on a failed install
             assert got == sid, f"import renumbered stream {sid} -> {got}"
         self.engine = new
+        consumed = old.drain_consumed()  # last budget releases from A
+        if consumed:
+            try:
+                loop.call_soon_threadsafe(out_q.put_nowait,
+                                          ([], consumed, [], {}))
+            except RuntimeError:
+                pass
         return len(snaps)
 
     def _engine_thread(self, loop: asyncio.AbstractEventLoop,
