@@ -150,9 +150,20 @@ class CacheConfig:
     def pos_len(self, hp: Hparams) -> int:
         return 2 * self.kv_len(hp) - 1
 
+    # Measured per-mode slack-phase sweet spots (PERF.md round-5 sweep,
+    # kv-int8, B=768, v5e): small R wants a LONG slack (chunk_len 1 -> tiny
+    # tail, rare compaction); at large R the tail n_phases*chunk_len becomes
+    # the dominant K/V HBM term — R=13 at n_phases=8 sat past the HBM knee
+    # (673 ms/step) vs 169 ms at n_phases=2 (1277 -> 5087 rt streams).
+    # NEMOTRON_TPU_N_PHASES always overrides. n_phases also caps the
+    # backlog micro-batch depth k (k | n_phases — engine trigger rule).
+    _MODE_N_PHASES = {0: 8, 1: 8, 6: 4, 13: 2}
+
     @staticmethod
     def for_mode(mode: LatencyMode | int, hp: Hparams | None = None) -> "CacheConfig":
         kw = {"att_right_context": int(mode)}
+        if "NEMOTRON_TPU_N_PHASES" not in os.environ:
+            kw["n_phases"] = CacheConfig._MODE_N_PHASES.get(int(mode), 8)
         if hp is not None:
             kw.update(
                 att_left_context=hp.att_left_context,
