@@ -491,7 +491,9 @@ class ASRModel:
                 pidx,
                 jnp.asarray([t_real], dtype=jnp.int32),
             )
-            arr = np.asarray(tokens[0])
+            from .models.decoder import unpack_tokens
+
+            arr, _conf = unpack_tokens(np.asarray(tokens[0]), hp.vocab_size)
             for t in range(n_sub):
                 for s in range(arr.shape[1]):
                     tok = int(arr[t, s])
@@ -563,7 +565,9 @@ class ASRModel:
                                    jnp.asarray(n_mel))
             from .models.asr import tokens_to_list
 
-            for i, seq in enumerate(tokens_to_list(tokens, n_sub)):
+            for i, seq in enumerate(
+                    tokens_to_list(tokens, n_sub,
+                                   vocab_size=hp.vocab_size)):
                 for tok, t in seq:
                     token_ids[i].append(tok)
                     frames[i].append(offsets[i] + t)

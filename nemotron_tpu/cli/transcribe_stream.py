@@ -32,6 +32,7 @@ def parse_args(argv: list[str]) -> dict:
         "num_speakers": -1,
         "sub_shift_ms": 750,
         "timestamps": False,
+        "confidence": False,
         "bf16": False,
         "quantized": False,
     }
@@ -59,6 +60,10 @@ def parse_args(argv: list[str]) -> dict:
             opts["sub_shift_ms"] = int(argv[i])
         elif a == "--timestamps":
             opts["timestamps"] = True
+        elif a == "--confidence":
+            # per-token softmax confidence packed into the emission tensor
+            # (beyond reference): --json word records gain a "conf" field
+            opts["confidence"] = True
         elif a == "--bf16":
             opts["bf16"] = True
         elif a == "--quantized":
@@ -83,8 +88,23 @@ def parse_args(argv: list[str]) -> dict:
     return opts
 
 
+def _chunk_conf(sess) -> float:
+    """Min confidence over the session's most recent chunk of tokens
+    (-1 when confidence packing is off)."""
+    if not sess.token_confs:
+        return -1.0
+    n = len(sess.token_confs)
+    k = min(n, 16)
+    return float(min(sess.token_confs[n - k :]))
+
+
 def main(argv=None) -> int:
     opts = parse_args(argv if argv is not None else sys.argv[1:])
+    if opts["confidence"]:
+        # must be set before the decode programs trace (read at trace time)
+        import os
+
+        os.environ["NEMOTRON_TPU_CONFIDENCE"] = "1"
 
     from ..api import ASRModel
     from ..config import CacheConfig
@@ -151,7 +171,8 @@ def main(argv=None) -> int:
             if diar is not None:
                 diar.push_audio(audio.astype(np.float32) / 32768.0)
                 if text:
-                    diar.push_text(text, sess.total_audio_seconds)
+                    diar.push_text(text, sess.total_audio_seconds,
+                                   conf=_chunk_conf(sess))
                 if opts["json"]:
                     for line in diar.drain_json():
                         print(line)
@@ -168,7 +189,8 @@ def main(argv=None) -> int:
 
     if diar is not None:
         if tail:
-            diar.push_text(tail, sess.total_audio_seconds)
+            diar.push_text(tail, sess.total_audio_seconds,
+                           conf=_chunk_conf(sess))
         result = diar.finalize()
         if opts["speaker_text"] or not opts["rttm"]:
             print(result.speaker_text)

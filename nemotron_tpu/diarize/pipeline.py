@@ -43,6 +43,7 @@ class Word:
     text: str
     at_sec: float
     speaker: int = -1
+    conf: float = -1.0  # min per-token softmax confidence (-1 = unrecorded)
 
 
 @dataclasses.dataclass
@@ -124,6 +125,7 @@ class DiarizePipeline:
         self.json_drained = 0
         self.word_pending = ""
         self.word_pending_at = 0.0
+        self.word_pending_conf = -1.0
         self._finalized = False
 
     @classmethod
@@ -288,21 +290,31 @@ class DiarizePipeline:
         self._advance()
         return self.n_vad_frames - before
 
-    def push_text(self, text: str, at_sec: float) -> None:
+    def push_text(self, text: str, at_sec: float,
+                  conf: float = -1.0) -> None:
         for c in text:
             if c in " \t\n\r":
                 if self.word_pending:
                     self.words.append(Word(self.word_pending,
-                                           self.word_pending_at))
+                                           self.word_pending_at,
+                                           conf=self.word_pending_conf))
                     self.word_pending = ""
+                    self.word_pending_conf = -1.0
             else:
                 self.word_pending += c
                 self.word_pending_at = at_sec
+                if conf >= 0.0:
+                    self.word_pending_conf = (
+                        conf if self.word_pending_conf < 0.0
+                        else min(self.word_pending_conf, conf))
 
     def drain_json(self) -> list[str]:
         out = []
         for w in self.words[self.json_drained :]:
-            out.append(json.dumps({"word": w.text, "at": round(w.at_sec, 3)}))
+            rec = {"word": w.text, "at": round(w.at_sec, 3)}
+            if w.conf >= 0.0:
+                rec["conf"] = round(w.conf, 3)
+            out.append(json.dumps(rec))
         self.json_drained = len(self.words)
         return out
 
@@ -337,7 +349,8 @@ class DiarizePipeline:
         self._finalized = True
         self._finalize_open_segment()
         if self.word_pending:
-            self.words.append(Word(self.word_pending, self.word_pending_at))
+            self.words.append(Word(self.word_pending, self.word_pending_at,
+                                   conf=self.word_pending_conf))
             self.word_pending = ""
 
     def finalize(self) -> DiarizeResult:

@@ -418,12 +418,25 @@ def transcribe_batch_jit(params, mel, n_frames, dec_state, *, hp: Hparams,
     )
 
 
-def tokens_to_list(tokens, n_valid=None) -> list[list[tuple[int, int]]]:
+def tokens_to_list(tokens, n_valid=None, vocab_size=None,
+                   with_conf: bool = False):
     """Decode the emission tensor on host: [B, T, S] -> per-stream ordered
-    [(token_id, frame_idx), ...] (frame_idx relative to this chunk)."""
+    [(token_id, frame_idx), ...] (frame_idx relative to this chunk).
+
+    Under NEMOTRON_TPU_CONFIDENCE=1 the values carry a packed per-token
+    confidence (decoder._pack_conf) — pass vocab_size so it can be stripped;
+    with_conf=True returns (token_id, frame_idx, conf | None) triples."""
     import numpy as np
 
+    from .decoder import confidence_enabled, unpack_tokens
+
     arr = np.asarray(tokens)
+    conf = None
+    if confidence_enabled():
+        if vocab_size is None:
+            raise ValueError(
+                "NEMOTRON_TPU_CONFIDENCE=1 needs vocab_size to unpack")
+        arr, conf = unpack_tokens(arr, vocab_size)
     out = []
     for b in range(arr.shape[0]):
         seq = []
@@ -432,6 +445,11 @@ def tokens_to_list(tokens, n_valid=None) -> list[list[tuple[int, int]]]:
             for s in range(arr.shape[2]):
                 tok = int(arr[b, t, s])
                 if tok >= 0:
-                    seq.append((tok, t))
+                    if with_conf:
+                        seq.append((tok, t,
+                                    float(conf[b, t, s])
+                                    if conf is not None else None))
+                    else:
+                        seq.append((tok, t))
         out.append(seq)
     return out

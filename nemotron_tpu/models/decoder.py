@@ -25,6 +25,44 @@ from ..config import MAX_SYMBOLS_PER_STEP, Hparams
 from ..ops.lstm import lstm2_step
 from ..params import _ptree
 
+# Per-token confidence (beyond reference): when enabled, each emitted token
+# value carries a 7-bit quantized softmax probability of the chosen token,
+# packed as tok + vocab_size * q (q in 0..127) so the emission tensor stays
+# ONE int32 array (a second device output would cost a second tunnel fetch
+# per tick). -1 stays the no-emission sentinel. Hosts unpack with
+# unpack_tokens. Default OFF: the wire/token contract is unchanged and all
+# golden parity suites run the exact reference semantics.
+def confidence_enabled() -> bool:
+    return os.environ.get("NEMOTRON_TPU_CONFIDENCE", "0") == "1"
+
+
+def unpack_tokens(vals, vocab_size: int):
+    """Split packed emission values -> (token_ids, conf in [0,1] | None).
+
+    `vals` is a host numpy array (any shape); identity (conf=None) when
+    confidence packing is off. No-emission sentinels (-1) pass through."""
+    import numpy as np
+
+    if not confidence_enabled():
+        return vals, None
+    emitted = vals >= 0
+    ids = np.where(emitted, vals % vocab_size, vals)
+    conf = np.where(emitted, (vals // vocab_size) / 127.0, 0.0)
+    return ids, conf
+
+
+def _pack_conf(tok, logits, vocab_size: int):
+    """tok [B] int32 (argmax of logits [B, V]) -> packed tok + V*q."""
+    if not confidence_enabled():
+        return tok
+    l32 = logits.astype(jnp.float32)
+    m = jnp.max(l32, axis=-1)
+    # P(argmax) = exp(m - logsumexp) = 1 / sum(exp(l - m))
+    p = 1.0 / jnp.sum(jnp.exp(l32 - m[:, None]), axis=-1)
+    q = jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int32)
+    return tok + vocab_size * q
+
+
 # Batched greedy decode formulation. Default: "loop labels" — ONE while_loop
 # in which every stream advances through its own frames (emit -> stay on the
 # frame, blank -> next frame), so total joint+LSTM iterations are
@@ -121,7 +159,8 @@ def greedy_decode(
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             is_blank = tok == blank
             emit = jnp.logical_and(~done, ~is_blank)
-            out_tok = jnp.where(emit, tok, -1)
+            out_tok = jnp.where(emit, _pack_conf(tok, logits, hp.vocab_size),
+                                -1)
             gate = emit[:, None, None]
             h = jnp.where(gate, h2, h)
             c = jnp.where(gate, c2, c)
@@ -205,7 +244,8 @@ def _greedy_decode_loop_labels(params, hp: Hparams, enc_out, state, n_valid):
                 == jnp.arange(s_max, dtype=jnp.int32)[None, :])
         cell = t_oh.astype(jnp.bool_)[:, :, None] & s_oh[:, None, :]
         write = emit[:, None, None] & cell  # [B, T, S] one-hot position
-        acc = jnp.where(write, (tok + 1)[:, None, None], acc)
+        packed = _pack_conf(tok, logits, hp.vocab_size)
+        acc = jnp.where(write, (packed + 1)[:, None, None], acc)
 
         gate = emit[:, None, None]
         h = jnp.where(gate, h2, h)

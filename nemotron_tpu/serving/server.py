@@ -280,7 +280,7 @@ class StreamServer:
                     # (sess.total_audio_seconds).
                     at = ev.at_sec if ev.at_sec >= 0.0 \
                         else p.total_samples / 16000.0
-                    p.push_text(ev.text, at)
+                    p.push_text(ev.text, at, conf=getattr(ev, "conf", -1.0))
             for line in p.drain_json():
                 frames.append((sid, line))
             held = [ev for ev in events

@@ -150,6 +150,9 @@ class Event:
     # clock the CLI stamps diarization words with (sess.total_audio_seconds).
     # -1.0 when unknown (sentinel/failed-step "ended" events with no text).
     at_sec: float = -1.0
+    # Minimum per-token softmax confidence over this event's tokens
+    # (NEMOTRON_TPU_CONFIDENCE=1 only; -1.0 = not recorded).
+    conf: float = -1.0
 
 
 def _to_f32(audio: np.ndarray) -> np.ndarray:
@@ -822,20 +825,27 @@ class EngineGroup:
             # no-speaker territory).
             at = float(frame_base[i] + n_valid[i]) \
                 * self.cfg.subsampling_factor * 160.0 / 16000.0
+            conf = -1.0
             if mask.any():
-                ids = emitted[mask].tolist()  # row-major: frame-major order
+                from ..models.decoder import unpack_tokens
+
+                raw = emitted[mask]
+                ids, confs = unpack_tokens(raw, self.hp.vocab_size)
+                ids = ids.tolist()  # row-major: frame-major order
                 frames = (frame_base[i] + np.nonzero(mask)[0]).tolist()
                 slot.tokens.extend(ids)
                 slot.token_frames.extend(frames)
+                if confs is not None:
+                    conf = float(confs.min())
                 text = self.model.tokenizer.decode(ids)
                 slot.transcript += text
             else:
                 text = ""
             if i in finalizing:
-                events.append(Event(slot.stream_id, "ended", text, at))
+                events.append(Event(slot.stream_id, "ended", text, at, conf))
                 self.release(i)
             elif text:
-                events.append(Event(slot.stream_id, "text", text, at))
+                events.append(Event(slot.stream_id, "text", text, at, conf))
         return events
 
     def tick(self) -> tuple[list[Event], bool]:
@@ -1286,7 +1296,11 @@ class BatchedEngine:
                 "rtf": round(rtf, 5),
             }
             if g.emit_latencies:
-                lat = np.asarray(g.emit_latencies) * 1e3
+                try:
+                    snap = list(g.emit_latencies)
+                except RuntimeError:  # tick thread appended mid-iteration
+                    snap = list(g.emit_latencies)
+                lat = np.asarray(snap) * 1e3
                 p50, p90, p99 = np.percentile(lat, (50, 90, 99))
                 out["groups"][rc]["emit_latency_ms"] = {
                     "p50": round(float(p50), 1), "p90": round(float(p90), 1),

@@ -50,6 +50,7 @@ class StreamSession:
         )
         self.tokens: list[int] = []
         self.token_frames: list[int] = []
+        self.token_confs: list[float] = []  # NEMOTRON_TPU_CONFIDENCE=1 only
         self.transcript = ""
         self.total_audio_seconds = 0.0
         self.total_compute_seconds = 0.0
@@ -73,6 +74,7 @@ class StreamSession:
         )
         self.tokens.clear()
         self.token_frames.clear()
+        self.token_confs.clear()
         self.transcript = ""
         self.total_audio_seconds = 0.0
         self.total_compute_seconds = 0.0
@@ -104,13 +106,16 @@ class StreamSession:
 
         jax.block_until_ready(tokens)
         self.total_compute_seconds += time.perf_counter() - t0
-        new = tokens_to_list(tokens)[0]
+        new = tokens_to_list(tokens, vocab_size=self.hp.vocab_size,
+                             with_conf=True)[0]
         if not new:
             return ""
-        ids = [tk for tk, _ in new]
-        frames = [frame_base + fr for _, fr in new]
+        ids = [tk for tk, _, _ in new]
+        frames = [frame_base + fr for _, fr, _ in new]
         self.tokens.extend(ids)
         self.token_frames.extend(frames)
+        if new and new[0][2] is not None:
+            self.token_confs.extend(cf for _, _, cf in new)
         text = self.model.tokenizer.decode(
             ids, timestamp_words=self.timestamp_words, frames=frames
         )
@@ -232,4 +237,33 @@ class StreamSession:
                 cur += piece
         if cur:
             words.append((cur, cur_t))
+        return words
+
+    def timed_words_conf(self) -> list[tuple[str, float, float]]:
+        """(word, start_seconds, confidence) — confidence is the MINIMUM
+        packed per-token softmax probability over the word's tokens (the
+        weakest piece bounds trust in the word). Requires
+        NEMOTRON_TPU_CONFIDENCE=1; raises otherwise."""
+        if len(self.token_confs) != len(self.tokens):
+            raise RuntimeError(
+                "per-token confidence was not recorded "
+                "(set NEMOTRON_TPU_CONFIDENCE=1 before building the model)")
+        words: list[tuple[str, float, float]] = []
+        cur = ""
+        cur_t = 0.0
+        cur_c = 1.0
+        for tid, fr, cf in zip(self.tokens, self.token_frames,
+                               self.token_confs):
+            piece = self.model.tokenizer.piece(tid)
+            if piece.startswith("\u2581"):
+                if cur:
+                    words.append((cur, cur_t, cur_c))
+                cur = piece[1:]
+                cur_t = fr * 1280 / 16000
+                cur_c = cf
+            else:
+                cur += piece
+                cur_c = min(cur_c, cf)
+        if cur:
+            words.append((cur, cur_t, cur_c))
         return words
