@@ -1250,6 +1250,9 @@ class BatchedEngine:
         if stream_id is None:
             stream_id = next(self._ids)
         else:
+            if stream_id in self._route:
+                raise ValueError(
+                    f"stream id {stream_id} is already live on this engine")
             nxt = next(self._ids)
             if stream_id >= nxt:
                 self._ids = itertools.count(stream_id + 1)
